@@ -1,0 +1,30 @@
+from .resnet import (
+    RESNET_SPECS,
+    init_resnet,
+    resnet_from_torch_state_dict,
+    extract_features,
+    resnet_out_channels,
+)
+from .seg_network import (
+    init_seg_network,
+    seg_network_apply,
+    seg_network_from_torch_state_dict,
+)
+from .solver import CGState, gauss_newton_cg, init_cg_state, scalar_preconditioner
+from .memory import MemoryState, memory_init, memory_update
+from .discriminator import (
+    DiscConfig, DiscParams, DiscState,
+    init_disc_params, disc_init, disc_apply, disc_update, filter_resolve,
+    compute_pixel_weights,
+)
+
+__all__ = [
+    "RESNET_SPECS", "init_resnet", "resnet_from_torch_state_dict",
+    "extract_features", "resnet_out_channels",
+    "init_seg_network", "seg_network_apply", "seg_network_from_torch_state_dict",
+    "CGState", "gauss_newton_cg", "init_cg_state", "scalar_preconditioner",
+    "MemoryState", "memory_init", "memory_update",
+    "DiscConfig", "DiscParams", "DiscState",
+    "init_disc_params", "disc_init", "disc_apply", "disc_update", "filter_resolve",
+    "compute_pixel_weights",
+]

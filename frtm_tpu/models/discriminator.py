@@ -1,0 +1,223 @@
+"""The online discriminative target model D(x) = filter_3x3(project_1x1(x)),
+learned per object by weighted least squares.
+
+Capability parity with /root/reference/model/discriminator.py:
+  * hinge pixel weighting with target influence tf (reference lines 107-152)
+  * two-phase init (reference lines 154-199): a joint GN-CG solve over
+    {projection, filter} on the augmented raw features, then re-projection,
+    a large memory over compressed features, and a filter-only solve whose
+    warm CG state persists into future updates
+  * apply: project -> cache compressed sample -> filter (reference 201-206)
+  * update: threshold mask for weights but store the soft mask, insert every
+    frame, re-solve every `train_skipping` frames (reference 208-227)
+
+TPU-first: everything is a pure function over (params, state); the per-object
+axis vmaps (all objects share shapes), and the update schedule is a lax.cond
+in the tracker's frame scan. Residuals keep all memory rows at static shape —
+zero-weight rows contribute nothing (see models/solver.py docstring).
+"""
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import conv2d
+from ..ops.resize import resize_bilinear
+from .memory import MemoryState, memory_init, memory_update
+from .solver import CGState, gauss_newton_cg, init_cg_state, scalar_preconditioner
+
+
+@dataclass(frozen=True)
+class DiscConfig:
+    """Static hyper-parameters (the reference Discriminator ctor args,
+    defaults = eval settings from /root/reference/evaluate.py:77-84)."""
+    in_channels: int = 1024
+    c_channels: int = 96
+    out_channels: int = 1
+    init_iters: Tuple[int, ...] = (5, 10, 10, 10, 10)
+    update_iters: Tuple[int, ...] = (10,)
+    filter_reg: Tuple[float, ...] = (1e-4, 1e-2)
+    precond: Tuple[float, ...] = (1e-4, 1e-2)
+    precond_lr: float = 0.1
+    cg_forgetting_rate: float = 750
+    memory_size: int = 80
+    train_skipping: int = 8
+    learning_rate: float = 0.1
+    pixel_weighting_method: str = "hinge"
+    pixel_weighting_tf: float = 0.1
+    layer: str = "layer4"
+
+    @property
+    def direction_forget_factor(self) -> float:
+        return (1.0 - self.precond_lr) ** self.cg_forgetting_rate
+
+
+class DiscParams(NamedTuple):
+    project: jnp.ndarray  # (1, 1, Cin, c) 1x1 conv, no bias
+    filter: jnp.ndarray   # (3, 3, c, out) 3x3 conv, no bias
+
+
+class DiscState(NamedTuple):
+    memory: MemoryState
+    cg: CGState           # warm-start state of the filter update solver
+    frame_num: jnp.ndarray  # int32
+
+
+def init_disc_params(key, cfg: DiscConfig) -> DiscParams:
+    """Random init matching torch Conv2d defaults (kaiming_uniform a=sqrt(5));
+    the solve immediately overwrites these, so only the scale matters."""
+    k1, k2 = jax.random.split(key)
+    import numpy as np
+    b1 = np.sqrt(6.0 / (6.0 * cfg.in_channels))
+    b2 = np.sqrt(6.0 / (6.0 * 9 * cfg.c_channels))
+    return DiscParams(
+        project=jax.random.uniform(k1, (1, 1, cfg.in_channels, cfg.c_channels),
+                                   jnp.float32, -b1, b1),
+        filter=jax.random.uniform(k2, (3, 3, cfg.c_channels, cfg.out_channels),
+                                  jnp.float32, -b2, b2),
+    )
+
+
+def compute_pixel_weights(y, cfg: DiscConfig):
+    """Hinge pixel weighting (reference discriminator.py:107-152): foreground
+    influence clamped at tf; small objects (<10 px) treated as af = tf; returns
+    sqrt of the per-pixel weight. y: (N, H, W, 1) in [0, 1]."""
+    if cfg.pixel_weighting_method == "none":
+        return jnp.ones_like(y, jnp.float32)
+    assert cfg.pixel_weighting_method == "hinge"
+    tf = cfg.pixel_weighting_tf
+    y = y.astype(jnp.float32)
+    N, H, W, _ = y.shape
+    px = y.sum(axis=(1, 2, 3)).reshape(N, 1, 1, 1)
+    af = px / (H * W)
+    af = jnp.where(px < 10, tf, af)
+    tf_eff = jnp.where(af > tf, af, tf)
+    wf = tf_eff / af
+    wb = (1.0 - tf_eff) / (1.0 - af)
+    return jnp.sqrt(wf * y + wb * (1.0 - y))
+
+
+def _effective_weights(memory: MemoryState):
+    """Per-row residual weights: pixel weights x sqrt(sample weight)
+    (DiscriminatorLoss.initialize, reference discriminator.py:38-43).
+    Zero-weight (empty) rows vanish from the problem."""
+    sw = jnp.sqrt(memory.weights).reshape(-1, 1, 1, 1)
+    return memory.pixel_weights * sw
+
+
+def _make_residual_fn(memory: MemoryState, regs, apply_net):
+    """Residuals: [w * (bilinear_up(net(x)) - y), reg_i * theta_i]
+    (DiscriminatorLoss.__call__, reference discriminator.py:45-50)."""
+    w = _effective_weights(memory)
+    y = memory.labels
+    y_size = y.shape[1:3]
+    x = memory.samples
+
+    def residual_fn(theta):
+        s = apply_net(theta, x)
+        s = resize_bilinear(s, y_size)
+        data = w * (s - y)
+        reg_terms = tuple(r * t for r, t in zip(regs, jax.tree.leaves(theta)))
+        return (data,) + reg_terms
+
+    return residual_fn
+
+
+def disc_init(params: DiscParams, features, labels, cfg: DiscConfig):
+    """Two-phase target-model initialisation (reference discriminator.py:154-199).
+
+    :param features: (K, h, w, Cin) augmented first-frame features (raw)
+    :param labels:   (K, H, W, 1) augmented masks
+    :return: (DiscParams, DiscState)
+    """
+    pw = compute_pixel_weights(labels, cfg)
+    K = features.shape[0]
+    dff = cfg.direction_forget_factor
+
+    # Phase 1: joint solve over {project, filter} on raw features
+    mem1 = memory_init(K, features, labels, pw)
+
+    def joint_net(theta, x):
+        return conv2d(conv2d(x, theta[0]), theta[1])
+
+    theta = (params.project, params.filter)
+    resid = _make_residual_fn(mem1, cfg.filter_reg, joint_net)
+    M1 = scalar_preconditioner(tuple(jnp.asarray(p, jnp.float32) for p in cfg.precond))
+    theta, _ = gauss_newton_cg(resid, theta, init_cg_state(theta), cfg.init_iters,
+                               M1, dff, fletcher_reeves=False)
+    params = DiscParams(project=theta[0], filter=theta[1])
+
+    # Phase 2: re-project, build the big compressed memory, filter-only solve
+    compressed = conv2d(features, params.project)
+    mem2 = memory_init(cfg.memory_size, compressed, labels, pw)
+
+    def filter_net(theta, x):
+        return conv2d(x, theta[0])
+
+    theta_f = (params.filter,)
+    resid2 = _make_residual_fn(mem2, cfg.filter_reg[1:], filter_net)
+    M1f = scalar_preconditioner((jnp.asarray(cfg.precond[1], jnp.float32),))
+    theta_f, cg = gauss_newton_cg(resid2, theta_f, init_cg_state(theta_f),
+                                  cfg.update_iters, M1f, dff, fletcher_reeves=False)
+    params = params._replace(filter=theta_f[0])
+
+    return params, DiscState(memory=mem2, cg=cg, frame_num=jnp.zeros((), jnp.int32))
+
+
+def disc_apply(params: DiscParams, ft):
+    """Classify one frame's features: returns (coarse scores, compressed sample).
+    The compressed sample is what `disc_update` later inserts into memory
+    (reference discriminator.py:201-206 caches it as `current_sample`)."""
+    cft = conv2d(ft, params.project)
+    scores = conv2d(cft, params.filter)
+    return scores, cft
+
+
+def filter_resolve(params: DiscParams, state: DiscState, cfg: DiscConfig) -> Tuple[DiscParams, CGState]:
+    """Re-run the filter-only GN-CG solve on the current memory, warm-started
+    from the carried CG state (reference discriminator.py:221-227)."""
+    def filter_net(theta, x):
+        return conv2d(x, theta[0])
+
+    resid = _make_residual_fn(state.memory, cfg.filter_reg[1:], filter_net)
+    M1f = scalar_preconditioner((jnp.asarray(cfg.precond[1], jnp.float32),))
+    theta_f, cg = gauss_newton_cg(resid, (params.filter,), state.cg,
+                                  cfg.update_iters, M1f, cfg.direction_forget_factor,
+                                  fletcher_reeves=False)
+    return params._replace(filter=theta_f[0]), cg
+
+
+def disc_update(params: DiscParams, state: DiscState, compressed_sample, train_y,
+                cfg: DiscConfig):
+    """Per-frame online update (reference discriminator.py:208-227):
+      * skip everything when the soft mask has < 10 foreground pixels
+      * insert (sample, soft mask, weights-from-thresholded-mask) into memory
+      * every `train_skipping`-th frame: re-solve the filter (lax.cond)
+
+    :param compressed_sample: (h, w, c) from disc_apply's second output
+    :param train_y: (H, W, 1) soft merged mask for this object
+    :return: (DiscParams, DiscState)
+    """
+    frame_num = state.frame_num + 1
+    ys = (train_y > 0.5).astype(jnp.float32)
+    enough_fg = ys.sum() >= 10
+
+    pw = compute_pixel_weights(ys[None], cfg)[0]
+    new_mem = memory_update(state.memory, compressed_sample, train_y, pw,
+                            cfg.learning_rate)
+    memory = jax.tree.map(lambda a, b: jnp.where(enough_fg, a, b), new_mem, state.memory)
+    state = state._replace(memory=memory, frame_num=frame_num)
+
+    do_train = enough_fg & (frame_num % cfg.train_skipping == 0)
+
+    def train_branch(args):
+        params, state = args
+        new_params, cg = filter_resolve(params, state, cfg)
+        return new_params, state._replace(cg=cg)
+
+    def skip_branch(args):
+        return args
+
+    params, state = jax.lax.cond(do_train, train_branch, skip_branch, (params, state))
+    return params, state

@@ -1,0 +1,149 @@
+"""Gauss-Newton / conjugate-gradient least-squares solver, TPU-native.
+
+Capability parity with /root/reference/model/optimizer.py (GaussNewtonCG /
+MinimizationProblem): one Gauss-Newton linearisation per entry of the CG
+schedule, preconditioned CG with Polak-Ribiere (or Fletcher-Reeves) beta
+clamped at 0, standard alpha = rho/p'q, warm-started direction state with a
+forgetting factor applied on re-entry (reference lines 101-105), and the
+step_alpha damping ramp (reference lines 90-91).
+
+TPU-first re-design:
+  * the reference's double-backward trick (autograd.grad twice, reference
+    lines 84, 155-157) becomes `jax.linearize` + `jax.linear_transpose`:
+    linearise the residual function once per GN iteration, then the CG
+    operator is A(p) = J'(J p) — two linear-function applications, no tape.
+  * the CG loop is a `lax.fori_loop` with static trip count (the schedule is
+    a static tuple), so the whole solve jits into one XLA computation.
+  * solver state (direction p, rho, previous residual, step_alpha) is an
+    explicit NamedTuple pytree carried functionally — it lives in the
+    tracker's scan carry instead of optimizer-object attributes.
+  * inner products follow the reference's global-scalar convention: summed
+    over ALL parameter blocks and shared (DiscriminatorLoss.ip_input
+    replicates the sum per block, /root/reference/model/discriminator.py:55-61),
+    so alpha/beta are global scalars, not per-block.
+  * zero-weight memory slots replace the reference's dynamic `weights > 0`
+    row masking (/root/reference/model/discriminator.py:38-43): rows with
+    zero sample weight contribute zero residual and zero curvature, which is
+    mathematically identical and keeps every shape static for XLA.
+"""
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def tree_vdot(a, b) -> jnp.ndarray:
+    """Global inner product summed across all pytree leaves (scalar)."""
+    leaves = [jnp.vdot(x, y) for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))]
+    return jnp.sum(jnp.stack(leaves))
+
+
+def _axpy(a, x, y):
+    """y + a * x over pytrees (a scalar)."""
+    return jax.tree.map(lambda xi, yi: yi + a * xi, x, y)
+
+
+def _scale(a, x):
+    return jax.tree.map(lambda xi: a * xi, x)
+
+
+class CGState(NamedTuple):
+    """Warm-startable CG direction state (the reference's optimizer attrs)."""
+    p: Any                 # search direction pytree (theta-like)
+    r_prev: Any            # previous residual (for Polak-Ribiere)
+    rho: jnp.ndarray       # scalar
+    have_p: jnp.ndarray    # bool: whether p holds a valid direction
+    step_alpha: jnp.ndarray  # GN step damping (ramps 1.2x to 1.0)
+
+
+def init_cg_state(theta_like, step_alpha: float = 1.0) -> CGState:
+    zeros = jax.tree.map(jnp.zeros_like, theta_like)
+    return CGState(
+        p=zeros,
+        r_prev=jax.tree.map(jnp.zeros_like, theta_like),
+        rho=jnp.ones(()),
+        have_p=jnp.zeros((), bool),
+        step_alpha=jnp.asarray(step_alpha, jnp.float32),
+    )
+
+
+def _run_cg(A, b, state: CGState, n_iter: int, M1, direction_forget_factor,
+            fletcher_reeves: bool):
+    """One preconditioned CG solve of A x = b, warm-started from `state`.
+    Mirrors GaussNewtonCG.run_CG including the final-iteration residual skip
+    (reference optimizer.py:150-151)."""
+    if direction_forget_factor == 0:
+        state = state._replace(
+            p=jax.tree.map(jnp.zeros_like, b),
+            r_prev=jax.tree.map(jnp.zeros_like, b),
+            rho=jnp.ones(()),
+            have_p=jnp.zeros((), bool),
+        )
+        rho = state.rho
+    else:
+        rho = jnp.where(state.have_p, state.rho / direction_forget_factor, state.rho)
+
+    x0 = jax.tree.map(jnp.zeros_like, b)
+
+    def body(ii, carry):
+        x, r, p, r_prev, rho, have_p = carry
+        z = M1(r)
+        rho1 = rho
+        rho = tree_vdot(r, z)
+        if fletcher_reeves:
+            num = rho
+        else:
+            num = rho - tree_vdot(r_prev, z)
+        # rho1 == 0 means the previous iteration converged exactly (degenerate
+        # lanes, padded objects): fall back to a fresh direction instead of NaN
+        beta = jnp.where(rho1 != 0.0, num / jnp.where(rho1 != 0.0, rho1, 1.0), 0.0)
+        beta = jnp.maximum(beta, 0.0)
+        use_beta = jnp.where(have_p, beta, 0.0)  # first-ever iteration: p <- z
+        p = jax.tree.map(lambda zi, pi: zi + use_beta * pi, z, p)
+        q = A(p)
+        pq = tree_vdot(p, q)
+        alpha = jnp.where(pq != 0.0, rho / pq, 0.0)
+        if not fletcher_reeves:
+            r_prev = r
+        x = _axpy(alpha, p, x)
+        not_last = (ii < n_iter - 1).astype(jnp.float32)
+        r = _axpy(-alpha * not_last, q, r)
+        return x, r, p, r_prev, rho, jnp.ones((), bool)
+
+    x, r, p, r_prev, rho, have_p = lax.fori_loop(
+        0, n_iter, body, (x0, b, state.p, state.r_prev, rho, state.have_p))
+    return x, state._replace(p=p, r_prev=r_prev, rho=rho, have_p=have_p)
+
+
+def gauss_newton_cg(residual_fn, theta, state: CGState, num_cg_iter: Sequence[int],
+                    M1, direction_forget_factor: float,
+                    fletcher_reeves: bool = False):
+    """Run len(num_cg_iter) Gauss-Newton iterations, each with the given CG
+    step count (the reference's GaussNewtonCG.run with a tuple schedule).
+
+    :param residual_fn: theta-pytree -> residual pytree (pure)
+    :param M1:          preconditioner: theta-like pytree -> theta-like pytree
+    :return: (theta, CGState) after the schedule
+    """
+    for n_cg in num_cg_iter:
+        f0, jvp_fn = jax.linearize(residual_fn, theta)
+        vjp_fn = jax.linear_transpose(jvp_fn, theta)
+
+        def A(p, vjp_fn=vjp_fn, jvp_fn=jvp_fn):
+            return vjp_fn(jvp_fn(p))[0]
+
+        b = _scale(-1.0, vjp_fn(f0)[0])
+        dx, state = _run_cg(A, b, state, n_cg, M1, direction_forget_factor,
+                            fletcher_reeves)
+        theta = _axpy(state.step_alpha, dx, theta)
+        state = state._replace(step_alpha=jnp.minimum(state.step_alpha * 1.2, 1.0))
+    return theta, state
+
+
+def scalar_preconditioner(diag_M):
+    """M1(x) = x / diag_M with per-block scalars (the reference's diag_M,
+    /root/reference/model/discriminator.py:63-64)."""
+    def M1(x):
+        return jax.tree.map(lambda xi, d: xi / d, x, diag_M)
+    return M1

@@ -1,0 +1,150 @@
+"""GN-CG solver tests: exact-trajectory comparison against a from-spec numpy
+mirror of the reference CG (PR beta clamped at 0, preconditioning, warm-start
+forgetting, final-iteration residual skip), plus solution-quality checks."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from frtm_tpu.models.solver import (
+    CGState, gauss_newton_cg, init_cg_state, scalar_preconditioner, tree_vdot,
+)
+
+
+def _numpy_cg_reference(A, b, n_iter, diag_M, state, dff, fletcher_reeves=False):
+    """Reference CG semantics (optimizer.py:98-153) in plain numpy.
+    state: dict(p, r_prev, rho, have_p)."""
+    p, r_prev, rho, have_p = state["p"], state["r_prev"], state["rho"], state["have_p"]
+    if dff == 0:
+        p, r_prev, rho, have_p = None, None, 1.0, False
+    elif have_p:
+        rho = rho / dff
+    r = b.copy()
+    x = np.zeros_like(b)
+    for ii in range(n_iter):
+        z = r / diag_M
+        rho1 = rho
+        rho = float(r @ z)
+        if not have_p:
+            p = z.copy()
+        else:
+            if fletcher_reeves:
+                beta = rho / rho1
+            else:
+                beta = (rho - float(r_prev @ z)) / rho1
+            beta = max(beta, 0.0)
+            p = z + beta * p
+        q = A @ p
+        pq = float(p @ q)
+        alpha = rho / pq if pq != 0 else 0.0
+        if not fletcher_reeves:
+            r_prev = r.copy()
+        x = x + alpha * p
+        if ii < n_iter - 1:
+            r = r - alpha * q
+        have_p = True
+    return x, dict(p=p, r_prev=r_prev, rho=rho, have_p=have_p)
+
+
+def _linear_problem(rng, n=12, m=20, reg=0.05):
+    J = rng.randn(m, n).astype(np.float32)
+    y = rng.randn(m).astype(np.float32)
+
+    def residual_fn(theta):
+        return (jnp.asarray(J) @ theta[0] - jnp.asarray(y), reg * theta[0])
+
+    # normal equations operator A = J'J + reg^2 I, b at theta=0: J'y
+    A = J.T @ J + (reg ** 2) * np.eye(n, dtype=np.float32)
+    return residual_fn, J, y, A
+
+
+def test_cg_trajectory_matches_reference_semantics(rng):
+    """Linear problem -> GN linearisation is exact; our CG must produce the
+    same iterates as the from-spec numpy mirror, including warm-started
+    second runs with the forgetting factor."""
+    residual_fn, J, y, A = _linear_problem(rng)
+    n = J.shape[1]
+    theta = (jnp.zeros((n,), jnp.float32),)
+    diag_M = 0.7
+    dff = 0.9 ** 75
+
+    M1 = scalar_preconditioner((jnp.asarray(diag_M),))
+    theta1, state1 = gauss_newton_cg(residual_fn, theta, init_cg_state(theta),
+                                     (6,), M1, dff)
+
+    b0 = J.T @ y  # -J'f0 at theta=0 (f0 = -y)
+    x_np, st_np = _numpy_cg_reference(
+        A, b0.astype(np.float32), 6, diag_M,
+        dict(p=None, r_prev=None, rho=1.0, have_p=False), dff)
+    np.testing.assert_allclose(np.asarray(theta1[0]), x_np, atol=1e-4, rtol=1e-4)
+
+    # warm-started second run (like a tracker filter update)
+    theta2, state2 = gauss_newton_cg(residual_fn, theta1, state1, (4,), M1, dff)
+    f1 = J @ x_np - y
+    b1 = -(J.T @ f1 + (0.05 ** 2) * x_np)
+    dx_np, _ = _numpy_cg_reference(A, b1.astype(np.float32), 4, diag_M, st_np, dff)
+    np.testing.assert_allclose(np.asarray(theta2[0]), x_np + dx_np, atol=1e-3, rtol=1e-3)
+
+
+def test_gn_cg_converges_to_lstsq(rng):
+    residual_fn, J, y, A = _linear_problem(rng, reg=0.0)
+    n = J.shape[1]
+    theta = (jnp.zeros((n,), jnp.float32),)
+    M1 = scalar_preconditioner((jnp.asarray(1.0),))
+    theta, _ = gauss_newton_cg(residual_fn, theta, init_cg_state(theta),
+                               (n, n), M1, 0.0)
+    want, *_ = np.linalg.lstsq(J, y, rcond=None)
+    np.testing.assert_allclose(np.asarray(theta[0]), want, atol=1e-3, rtol=1e-3)
+
+
+def test_gn_bilinear_problem_decreases_loss(rng):
+    """project/filter-style bilinear net: loss must strictly decrease over GN
+    iterations (exercises re-linearisation)."""
+    x = rng.randn(30, 8).astype(np.float32)
+    target = rng.randn(30, 1).astype(np.float32)
+
+    def net(theta, xx):
+        return (xx @ theta[0]) @ theta[1]
+
+    def residual_fn(theta):
+        return (net(theta, jnp.asarray(x)) - jnp.asarray(target),
+                1e-3 * theta[0], 1e-2 * theta[1])
+
+    theta = (jnp.asarray(rng.randn(8, 4).astype(np.float32) * 0.3),
+             jnp.asarray(rng.randn(4, 1).astype(np.float32) * 0.3))
+
+    def loss(th):
+        return sum(float(jnp.sum(r ** 2)) for r in residual_fn(th))
+
+    # eval-config forgetting (CG_forgetting_rate=750 -> dff ~ 5e-35, i.e.
+    # near-fresh directions each run; the strong 75-rate warm start is only
+    # stable on the well-conditioned real problems, not this random toy)
+    M1 = scalar_preconditioner((jnp.asarray(1e-3), jnp.asarray(1e-2)))
+    losses = [loss(theta)]
+    state = init_cg_state(theta)
+    for _ in range(4):
+        theta, state = gauss_newton_cg(residual_fn, theta, state, (10,), M1, 0.9 ** 750)
+        losses.append(loss(theta))
+    # the rank-4 bilinear bottleneck cannot fit random targets fully: the
+    # floor for this seed is ~16.9 of ~30; require convergence near it
+    assert losses[-1] < 0.62 * losses[0], losses
+
+
+def test_step_alpha_ramp():
+    """step_alpha starts below 1, multiplies by 1.2 per GN iter, caps at 1
+    (reference optimizer.py:90-91)."""
+    def residual_fn(theta):
+        return (theta[0] - 1.0,)
+
+    theta = (jnp.zeros((3,)),)
+    st = init_cg_state(theta, step_alpha=0.5)
+    M1 = scalar_preconditioner((jnp.asarray(1.0),))
+    theta1, st1 = gauss_newton_cg(residual_fn, theta, st, (3,), M1, 0.0)
+    # solution of (I)x = b is exact in 1 CG iter; step_alpha=0.5 -> halfway
+    np.testing.assert_allclose(np.asarray(theta1[0]), 0.5 * np.ones(3), atol=1e-6)
+    assert abs(float(st1.step_alpha) - 0.6) < 1e-6
+
+
+def test_tree_vdot_global_scalar():
+    a = (jnp.ones((2, 2)), jnp.ones((3,)))
+    b = (2 * jnp.ones((2, 2)), 3 * jnp.ones((3,)))
+    assert float(tree_vdot(a, b)) == 2 * 4 + 3 * 3
