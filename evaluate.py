@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Evaluate the tracker on a VOS validation dataset.
+
+CLI-surface parity with /root/reference/evaluate.py (--model/--dset/--dev/
+--fast, reference lines 130-136), with the --fast schedule properly wired
+into the solver (the reference parses it but never passes it to Parameters —
+SURVEY.md §3.1). Dataset roots come from flags instead of the reference's
+edit-this-file paths dict.
+
+Usage:
+  python evaluate.py --model rn101_all.pth --dset dv2017val \\
+      --davis /data/DAVIS --backbone resnet101.pth --output /data/results
+"""
+import argparse
+import sys
+from pathlib import Path
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Evaluate FRTM-TPU on a validation dataset")
+    ap.add_argument("--model", type=str, required=True,
+                    help="refiner weights: a reference .pth or a native .npz")
+    ap.add_argument("--dset", type=str, required=True,
+                    choices=["dv2016val", "dv2017val", "yt2018jjval", "yt2018val"])
+    ap.add_argument("--dev", type=str, default="tpu",
+                    help="jax platform to run on (tpu/cpu)")
+    ap.add_argument("--fast", action="store_true",
+                    help="use the reduced optimizer schedule (FRTM-fast)")
+    ap.add_argument("--davis", type=str, default="/data/DAVIS", help="DAVIS root")
+    ap.add_argument("--yt2018", type=str, default="/data/ytvos2018",
+                    help="YouTubeVOS 2018 root")
+    ap.add_argument("--output", type=str, default="results", help="output root")
+    ap.add_argument("--backbone", type=str, default=None,
+                    help="torchvision-format resnet .pth (backbones are not "
+                         "part of FRTM checkpoints)")
+    ap.add_argument("--dtype", type=str, default="bfloat16",
+                    choices=["float32", "bfloat16"], help="backbone/refiner compute dtype")
+    ap.add_argument("--restart", type=str, default=None,
+                    help="sequence name to restart from (debugging)")
+    args = ap.parse_args()
+
+    import jax
+    if args.dev in ("cpu", "tpu"):
+        try:
+            jax.config.update("jax_platforms", args.dev if args.dev != "tpu" else None)
+        except Exception:
+            pass
+
+    from frtm_tpu.config import eval_config
+    from frtm_tpu.models import init_resnet, init_seg_network, resnet_out_channels
+    from frtm_tpu.runtime.tracker import Tracker
+    from frtm_tpu.data.datasets import DAVISDataset, YouTubeVOSDataset
+    from frtm_tpu.eval.evaluation import evaluate_dataset
+    from frtm_tpu.utils import checkpoints as ckpt
+
+    # Model weights + backbone autodetection
+    model_path = Path(args.model)
+    if not model_path.exists():
+        print(f"Model file '{model_path}' not found.")
+        sys.exit(1)
+    if model_path.suffix == ".pth":
+        arch, refiner = ckpt.load_reference_model(model_path)
+    else:
+        tree = ckpt.load_pytree(model_path)
+        arch, refiner = tree["arch"], tree["refiner"]
+
+    cfg = eval_config(arch, fast=args.fast, compute_dtype=args.dtype)
+
+    if args.backbone:
+        backbone = ckpt.load_backbone(args.backbone, arch)
+    else:
+        print("WARNING: no --backbone weights given; using random backbone "
+              "(benchmark-only; J&F will be meaningless).")
+        backbone = init_resnet(jax.random.PRNGKey(0), arch)
+
+    datasets = dict(
+        dv2016val=lambda **kw: DAVISDataset(path=args.davis, year="2016", split="val", **kw),
+        dv2017val=lambda **kw: DAVISDataset(path=args.davis, year="2017", split="val", **kw),
+        yt2018jjval=lambda **kw: YouTubeVOSDataset(path=args.yt2018, year="2018",
+                                                   split="jjval_all_frames", **kw),
+        yt2018val=lambda **kw: YouTubeVOSDataset(path=args.yt2018, year="2018",
+                                                 split="valid_all_frames", **kw),
+    )
+    dset = datasets[args.dset]()
+
+    ex_name = dset.name + "-" + model_path.stem + ("_fast" if args.fast else "")
+    out_path = Path(args.output).expanduser().resolve() / ex_name
+    out_path.mkdir(exist_ok=True, parents=True)
+
+    tracker = Tracker(cfg, backbone, refiner)
+    tracker.run_dataset(dset, out_path, speedrun=args.dset == "dv2016val",
+                        restart=args.restart)
+
+    dset.all_annotations = True
+    print("\nComputing J-scores")
+    evaluate_dataset(dset, out_path, measure="J")
+    print("\nComputing F-scores")
+    evaluate_dataset(dset, out_path, measure="F")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,311 @@
+"""First-frame augmentation: builds the discriminator's initial training set
+by cutting out the target, inpainting the hole, and re-pasting the target
+under random affine/blur transforms.
+
+Capability parity with /root/reference/model/augmenter.py (ImageAugmenter,
+augment_first_frame, lines 473-555): jittered grid of target centres,
+independently-shuffled parameter lists combined into specs, scale-clamped
+affine composition translate*skew*rotate*scale*translate(-target), rotated
+Gaussian motion-blur kernels, bicubic image / nearest label warps with
+alpha-feathered pasting, per-frame visibility verification with a retry loop,
+and the original frame always inserted first.
+
+Host/device split (SURVEY.md §7 'hard parts'): cv2 TELEA inpainting and the
+morphology around it have no XLA analog and run once per object, so they stay
+on host; the warps, blur filtering, and alpha pasting run through the
+framework's XLA warp/conv ops (jit-cached per image size).
+
+Randomness comes from an explicit numpy RandomState; the tracker reseeds it
+to 0 per object like the reference's determinism hack (model/tracker.py:178-180).
+"""
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+
+from ..ops.warp import warp_affine
+from ..ops.conv import conv2d
+
+
+# Default parameter selections (reference AugmentationParams2, lines 39-57).
+_DEFAULT_SELECTIONS = dict(
+    num_aug=20,
+    location=[(0.5, 0.5)],
+    rotation=[5, -5, 10, -10, 20, -20, 30, -30, 45, -45, 60, -60],
+    fliplr=[False, False, True],
+    scale=[0.7, 1.0, 1.5, 2.0, "0.25", "0.5", "1.0"],
+    skew=[(0.0, 0.0), (0.0, 0.0), (0.1, 0.1)],
+    blur_size=[0.0, 0.0, 0.0, 2.0, 5.0],
+    blur_angle=[0, 45, 90, 135],
+)
+
+
+@dataclass
+class AugSpec:
+    """One augmentation: target centre (image fractions), rotation (deg),
+    mirror, scale (number = factor, str = fraction of image height), skew,
+    blur size/angle (reference AugmentationSpec, lines 63-92)."""
+    location: tuple
+    rotation: float = 0.0
+    fliplr: bool = False
+    scale: object = 1.0
+    skew: tuple = (0.0, 0.0)
+    blur_size: float = 0.0
+    blur_angle: float = 0.0
+    min_size: int = 10
+
+
+def _translate(dx, dy):
+    return np.array([[1, 0, dx], [0, 1, dy], [0, 0, 1]], np.float64)
+
+
+def _rotate(a):
+    ca, sa = np.cos(a), np.sin(a)
+    return np.array([[ca, sa, 0], [-sa, ca, 0], [0, 0, 1]], np.float64)
+
+
+def _scale_m(sx, sy):
+    return np.diag([sx, sy, 1.0])
+
+
+def _skew_m(kx, ky):
+    return np.array([[1, kx, 0], [ky, 1, 0], [0, 0, 1]], np.float64)
+
+
+def blur_kernel(sx, sy, R):
+    """Rotated anisotropic Gaussian (reference _blur_kernel, lines 120-138)."""
+    cov = R @ np.diag((sx, sy)) @ R.T
+    s = int(np.max((sx, sy)) / 2 + 0.5)
+    s = s + (s + 1) % 2
+    r = np.arange(-s, s + 1)
+    X = np.stack(np.meshgrid(r, r))
+    X = (X * np.tensordot(np.linalg.inv(cov), X, axes=[1, 0])).sum(0)
+    G = np.exp(-0.5 * X)
+    return (G / G.sum()).astype(np.float32)
+
+
+def center_bbox_from_mask(mask) -> tuple:
+    """(center_x, center_y, w, h) of the nonzero extent; w=h=0 when empty
+    (reference lines 432-452)."""
+    mask = np.asarray(mask).squeeze()
+    ys = np.flatnonzero(mask.sum(axis=-1))
+    xs = np.flatnonzero(mask.sum(axis=-2))
+    if len(ys) == 0 or len(xs) == 0:
+        return 0.0, 0.0, 0, 0
+    w = xs[-1] - xs[0] + 1
+    h = ys[-1] - ys[0] + 1
+    return xs[0] + w / 2, ys[0] + h / 2, w, h
+
+
+class ImageAugmenter:
+
+    def __init__(self, params: dict):
+        """:param params: dict with num_aug, min_px_count, fg_aug_params,
+        and optional bg_aug_params (parameter-selection lists)."""
+        self.params = params
+        self.max_retries = 100
+
+    # -- spec generation ----------------------------------------------------
+
+    def generate_target_locations(self, N, im_size, rng):
+        """Jittered shuffled grid of target centres (reference lines 171-194)."""
+        h, w = im_size
+        aspect = w / h
+        nrows = int(np.ceil(np.sqrt(N / aspect)))
+        ncols = int(np.ceil(aspect * nrows))
+        co_max, ro_max = 0.5 / ncols, 0.5 / nrows
+        centers = []
+        for r in range(nrows):
+            for c in range(ncols):
+                x = (c + 0.5) / ncols + rng.normal(0, co_max / 4)
+                y = (r + 0.5) / nrows + rng.normal(0, ro_max / 4)
+                centers.append((round(x, 3), round(y, 3)))
+        rng.shuffle(centers)
+        return centers[:N]
+
+    def generate_specs(self, selections: dict, rng):
+        """Independently shuffle each parameter list and zip into specs
+        (reference generate_specs2, lines 196-225). Produces num_aug-1 specs
+        where num_aug defaults to 20 regardless of the requested output count
+        — the reference over-generates and crops later."""
+        sel = dict(_DEFAULT_SELECTIONS)
+        sel.update(selections)
+        N = sel.pop("num_aug") - 1
+        chosen = {}
+        for k, vals in sel.items():
+            vals = list(vals) * ((N + len(vals) - 1) // len(vals))
+            rng.shuffle(vals)
+            chosen[k] = vals[:N]
+        return [AugSpec(**{k: chosen[k][i] for k in chosen}) for i in range(N)]
+
+    # -- geometry -----------------------------------------------------------
+
+    def get_transform(self, spec: AugSpec, tg_bbox, im_size, limit_scale=True,
+                      use_blur=True):
+        """Affine 3x3 + blur kernel from a spec (reference lines 227-271)."""
+        tg_x, tg_y, tg_w, tg_h = tg_bbox
+        assert tg_w > 0 and tg_h > 0
+        im_h, im_w = im_size
+        t, a, s, k = spec.location, spec.rotation, spec.scale, spec.skew
+
+        if isinstance(s, str):
+            s = float(s) * im_h / tg_h
+        if limit_scale:
+            if s * tg_w > im_w or s * tg_h > im_h:
+                s = min(im_w / tg_w, im_h / tg_h)
+            if s * tg_w < spec.min_size or s * tg_h < spec.min_size:
+                s = max(spec.min_size / tg_w, spec.min_size / tg_h)
+
+        m = -1 if spec.fliplr else 1
+        d2r = np.pi / 180
+        T = (_translate(t[0] * im_w, t[1] * im_h) @ _skew_m(*k)
+             @ _rotate(a * d2r) @ _scale_m(m * s, s) @ _translate(-tg_x, -tg_y))
+
+        if use_blur and spec.blur_size > 0:
+            R = _rotate(spec.blur_angle * d2r)[:2, :2]
+            G = blur_kernel(spec.blur_size, 0.1, R)
+        else:
+            G = np.array([[1.0]], np.float32)
+        return T, G
+
+    # -- host-side cut & inpaint -------------------------------------------
+
+    @staticmethod
+    def cut_and_inpaint(image, mask, d=9, f=3):
+        """Cut the target out (feathered alpha), TELEA-inpaint the hole, blur
+        the inpainted border (reference lines 296-340). Host-side cv2.
+
+        :param image: (H, W, 3) uint8
+        :param mask:  (H, W) or (H, W, 1) nonzero = target
+        :return: (target RGBA (H,W,4) uint8-range f32, inpainted RGB uint8)
+        """
+        image = np.asarray(image, np.uint8)
+        mask = (np.asarray(mask).squeeze() > 0).astype(np.uint8)[..., None]
+
+        target = mask * image
+        k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (f, f))
+        alpha = cv2.blur(cv2.erode(mask, k) * 255, (f, f))
+        target = np.concatenate((target, alpha[..., None]), axis=-1)
+
+        mask0 = cv2.erode(mask, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (d, d)))
+        mask1 = cv2.dilate(mask, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (d * 2, d * 2)))
+        inpainted = cv2.inpaint(image, mask1, inpaintRadius=d, flags=cv2.INPAINT_TELEA)
+
+        m = ((1 - mask0) * mask1)[..., None] if mask0.ndim == 2 else (1 - mask0) * mask1
+        m = cv2.blur(m.squeeze() * 255, ksize=(d, d))[..., None] / 255.0
+        bim = cv2.blur(inpainted, ksize=(d, d))
+        inpainted = (bim * m + (1 - m) * inpainted).astype(np.uint8)
+        return target.astype(np.float32), inpainted
+
+    # -- device-side warp / filter / paste ---------------------------------
+
+    @staticmethod
+    def _filter_image(img, kernel):
+        """Per-channel 2-D filtering (reference filter_image, lines 342-352)."""
+        if kernel.shape == (1, 1):
+            return img
+        k = jnp.asarray(kernel, jnp.float32)[..., None, None]  # (fh, fw, 1, 1)
+        x = jnp.moveaxis(img, -1, 0)[..., None]                # (C, H, W, 1)
+        y = conv2d(x, k)
+        return jnp.moveaxis(y[..., 0], 0, -1)
+
+    def warp_and_filter_image(self, image, T, G):
+        """Whole-image warp + blur (bg augmentation; reference lines 354-368)."""
+        img = jnp.asarray(image, jnp.float32)
+        out = jnp.clip(warp_affine(img, T, img.shape[:2], "bicubic"), 0, 255)
+        return self._filter_image(out, G)
+
+    def warp_filter_and_paste(self, image, target, labels, T, G):
+        """Warp target RGBA + labels, blur target, alpha-paste into image
+        (reference lines 371-404)."""
+        image = jnp.asarray(image, jnp.float32)
+        sz = image.shape[:2]
+        tgt = jnp.clip(warp_affine(jnp.asarray(target, jnp.float32), T, sz, "bicubic"), 0, 255)
+        wlabels = warp_affine(jnp.asarray(labels, jnp.float32), T, sz, "nearest")
+        tgt = self._filter_image(tgt, G)
+        alpha = tgt[..., 3:4] / 255.0
+        out = tgt[..., :3] * alpha + image * (1.0 - alpha)
+        return jnp.clip(out, 0, 255), wlabels
+
+    # -- verification -------------------------------------------------------
+
+    def verify_frame(self, obj_ids, wlabels, have_no_background):
+        """All objects visible with >= min_px_count pixels and background not
+        fully hidden (reference lines 454-471)."""
+        wlabels = np.asarray(wlabels)
+        min_px = self.params["min_px_count"]
+        max_px = wlabels.shape[0] * wlabels.shape[1] - min_px
+        for oid in obj_ids:
+            px = int((wlabels == oid).sum())
+            if not (px >= min_px and (px < max_px or have_no_background)):
+                return False
+        return True
+
+    # -- top level ----------------------------------------------------------
+
+    def augment_first_frame(self, image, mask, rng: np.random.RandomState):
+        """Create num_aug augmented (image, label) pairs; slot 0 is the real
+        frame (reference lines 473-555).
+
+        :param image: (H, W, 3) uint8-range array
+        :param mask:  (H, W, 1) binary object mask
+        :return: (images (K, H, W, 3) f32 0-255, labels (K, H, W, 1) f32 0/1)
+        """
+        p = self.params
+        image = np.asarray(image)
+        mask = np.asarray(mask).reshape(*image.shape[:2], 1)
+        im_sz = image.shape[:2]
+
+        px_count = int(mask.sum())
+        no_background = px_count == mask.size
+        if px_count < p["min_px_count"]:
+            raise ValueError("Augmentation failed: Target object is too small.")
+        tg_bbox = center_bbox_from_mask(mask)
+        if tg_bbox[2] == 0 or tg_bbox[3] == 0:
+            raise ValueError("Augmentation failed: No object to augment.")
+
+        target, inpainted = self.cut_and_inpaint(image, mask, d=1, f=1)
+
+        fg_sel = dict(p["fg_aug_params"])
+        fg_sel["location"] = self.generate_target_locations(p["num_aug"], im_sz, rng)
+        bg_sel = p.get("bg_aug_params")
+
+        N = p["num_aug"] - 1
+        aug_images, aug_labels = [], []
+        retries = -1
+        while len(aug_images) < N:
+            retries += 1
+            if retries > self.max_retries:
+                raise RuntimeError(
+                    "Augmentation failed: Not enough samples after %d retries."
+                    % self.max_retries)
+            fg_specs = self.generate_specs(fg_sel, rng)
+            bg_specs = (self.generate_specs(bg_sel, rng) if bg_sel is not None
+                        else [None] * len(fg_specs))
+            for fg_spec, bg_spec in zip(fg_specs, bg_specs):
+                if bg_spec is not None:
+                    h, w = im_sz
+                    T, G = self.get_transform(bg_spec, (w / 2, h / 2, w, h), im_sz,
+                                              limit_scale=False)
+                    wimage = self.warp_and_filter_image(inpainted, T, G)
+                else:
+                    wimage = jnp.asarray(inpainted, jnp.float32)
+                T, G = self.get_transform(fg_spec, tg_bbox, im_sz)
+                wimage, wlabels = self.warp_filter_and_paste(wimage, target, mask, T, G)
+                wlabels_np = np.asarray(wlabels)
+                if self.verify_frame([1], wlabels_np, no_background):
+                    aug_images.append(np.asarray(wimage))
+                    aug_labels.append(wlabels_np)
+
+        if len(aug_images) > N:
+            order = list(range(len(aug_images)))
+            rng.shuffle(order)
+            aug_images = [aug_images[i] for i in order[:N]]
+            aug_labels = [aug_labels[i] for i in order[:N]]
+
+        images = np.stack([image.astype(np.float32)] + aug_images)
+        labels = np.stack([mask.astype(np.float32)] + aug_labels)
+        return images, labels

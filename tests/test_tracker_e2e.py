@@ -1,0 +1,105 @@
+"""End-to-end tracker tests on synthetic moving-square sequences (no DAVIS
+data needed). With an untrained random refiner the refined masks are weak, so
+these tests validate mechanics (shapes, multi-object exclusivity, update
+cadence, determinism) and that the discriminator alone localises the target."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from frtm_tpu.config import eval_config
+from frtm_tpu.models import init_resnet, init_seg_network, resnet_out_channels
+from frtm_tpu.runtime.tracker import Tracker, merge_soft_masks, masks_to_labels
+from frtm_tpu.data.synthetic import make_moving_square_sequence
+
+
+def _small_tracker(arch="resnet18", num_aug=3):
+    cfg = eval_config(arch, fast=True, num_aug=num_aug)
+    # shrink the solver for test speed
+    from dataclasses import replace
+    disc = replace(cfg.disc, init_iters=(3, 5), update_iters=(3,), memory_size=8,
+                   c_channels=16, train_skipping=2)
+    cfg = replace(cfg, disc=disc)
+    backbone = init_resnet(jax.random.PRNGKey(1), arch)
+    ch = {L: c for L, c in resnet_out_channels(arch).items() if L in cfg.refnet_layers}
+    refiner = init_seg_network(jax.random.PRNGKey(2), ch, use_bn=cfg.refnet_use_bn)
+    return Tracker(cfg, backbone, refiner)
+
+
+def test_merge_soft_masks_exclusive():
+    masks = jnp.asarray(np.stack([
+        np.zeros((8, 8)),  # bg row (overwritten by merge)
+        np.full((8, 8), 0.9),
+        np.full((8, 8), 0.8),
+    ]).astype(np.float32))
+    merged = merge_soft_masks(masks)
+    # exactly one nonzero winner per pixel
+    nonzero = (np.asarray(merged) > 0).sum(axis=0)
+    np.testing.assert_array_equal(nonzero, 1)
+    assert float(merged[1].min()) > 0  # object 1 wins everywhere
+
+
+def test_masks_to_labels_single_and_multi():
+    m = jnp.zeros((2, 4, 4)).at[1, :2].set(0.9)
+    lut = jnp.asarray([0, 3], jnp.int32)
+    lb = np.asarray(masks_to_labels(m, lut))
+    assert set(np.unique(lb)) == {0, 3}
+    m3 = jnp.zeros((3, 4, 4)).at[1, :2].set(0.9).at[2, 2:].set(0.8)
+    lut3 = jnp.asarray([0, 1, 2], jnp.int32)
+    lb3 = np.asarray(masks_to_labels(m3, lut3))
+    assert lb3[0, 0] == 1 and lb3[3, 3] == 2
+
+
+@pytest.mark.slow
+def test_tracker_single_object_e2e():
+    seq = make_moving_square_sequence(n_frames=6, size=(96, 128), square=24)
+    tracker = _small_tracker()
+    outputs, fps = tracker.run_sequence(seq)
+    assert len(outputs) == 6
+    assert outputs[0].shape == (96, 128)
+    assert fps > 0
+    # frame 0 echoes the ground-truth start mask
+    np.testing.assert_array_equal(outputs[0], seq.labels[0].squeeze())
+    # the per-object update loop ran every tracked frame (memory growth depends
+    # on mask quality, which an untrained random refiner does not guarantee)
+    t = list(tracker.targets.values())[0]
+    assert int(t.state.frame_num) == 5
+    assert int(t.state.memory.current_size) >= 3
+
+
+@pytest.mark.slow
+def test_tracker_multi_object_and_determinism():
+    seq = make_moving_square_sequence(n_frames=4, size=(96, 128), square=20,
+                                      n_objects=2, seed=3)
+    tracker = _small_tracker()
+    out1, _ = tracker.run_sequence(seq)
+    assert set(np.unique(out1[0])) <= {0, 1, 2}
+    # per-pixel exclusivity: labels are a partition by construction
+    assert out1[1].shape == (96, 128)
+    # reseeded augmentation makes a rerun bit-identical (reference determinism hack)
+    out2, _ = tracker.run_sequence(seq)
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_tracker_discriminator_localises():
+    """With random refiner weights the coarse discriminator scores must still
+    track the moving square (validates init + update end-to-end)."""
+    seq = make_moving_square_sequence(n_frames=6, size=(96, 128), square=24, seed=1)
+    tracker = _small_tracker()
+    tracker.run_sequence(seq)
+    t = list(tracker.targets.values())[0]
+
+    # classify the last frame directly with the final model
+    from frtm_tpu.models.discriminator import disc_apply
+    img = jnp.asarray(seq.images[-1][None].astype(np.float32))
+    ft = tracker._extract_disc_layer(tracker.backbone, img)[tracker.disc_cfg.layer]
+    scores, _ = disc_apply(t.params, ft)
+    s = np.asarray(scores[0, :, :, 0])
+    gt = seq.labels[-1].squeeze() == 1
+    from frtm_tpu.ops.resize import resize_bilinear
+    s_up = np.asarray(resize_bilinear(jnp.asarray(s[None, ..., None]), gt.shape)[0, ..., 0])
+    fg = s_up[gt].mean()
+    bg = s_up[~gt].mean()
+    assert fg > bg + 0.2, (fg, bg)
