@@ -164,14 +164,37 @@ def _tse(p, ft, score):
     return h, hpool
 
 
-def _rrb(p, x):
+def _rrb(p, x, bn_updates=None, bn_key=None):
     h = _c(p["conv1x1"], x)
     b = _c(p["bb1"], h)
     if "bn" in p:
-        b = batch_norm(b, p["bn"])
+        if bn_updates is None:
+            b = batch_norm(b, p["bn"])
+        else:
+            b, new_stats = _batch_norm_train(b, p["bn"])
+            bn_updates[bn_key] = new_stats
     b = relu(b)
     b = conv2d(b, p["bb2"]["w"])
     return relu(h + b)
+
+
+def _batch_norm_train(x, params, momentum: float = 0.1, eps: float = 1e-5):
+    """Training-mode BN: normalise with batch statistics, return momentum-
+    updated running stats (torch semantics: biased var for normalisation,
+    unbiased var for the running estimate)."""
+    axes = (0, 1, 2)
+    mean = jnp.mean(x, axis=axes)
+    var = jnp.var(x, axis=axes)
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    var_unbiased = var * n / max(n - 1, 1)
+    inv = params["scale"] * jax.lax.rsqrt(var + eps)
+    y = x * inv + (params["bias"] - mean * inv)
+    new_stats = dict(
+        scale=params["scale"], bias=params["bias"],
+        mean=(1 - momentum) * params["mean"] + momentum * jax.lax.stop_gradient(mean),
+        var=(1 - momentum) * params["var"] + momentum * jax.lax.stop_gradient(var_unbiased),
+    )
+    return y, new_stats
 
 
 def _cab(p, deeper, shallower, deepest):
@@ -237,15 +260,20 @@ def _upsampler(p, x, image_size):
 
 
 def seg_network_apply(params, scores, features, image_size,
-                      layers=("layer5", "layer4", "layer3", "layer2")):
+                      layers=("layer5", "layer4", "layer3", "layer2"),
+                      train_bn: bool = False):
     """Refine a coarse score map into a full-resolution mask logit.
 
     :param scores:     (N, h, w, 1) coarse discriminator scores
     :param features:   {layer: (N, h, w, c)} backbone pyramid
     :param image_size: (H, W) output size
+    :param train_bn:   use batch statistics in the RRB BatchNorms (training);
+                       returns (logits, bn_updates) where bn_updates maps
+                       (rrb_name, layer) -> updated running-stat dicts
     :return: (N, H, W, 1) mask logits (caller applies sigmoid, as the
              reference Tracker does at model/tracker.py:203)
     """
+    bn_updates = {} if train_bn else None
     x = None
     for i, L in enumerate(layers):
         ft = features[L]
@@ -253,7 +281,20 @@ def seg_network_apply(params, scores, features, image_size,
         h, hpool = _tse(params["tse"][L], ft, s)
         if x is not None:
             hpool = x
-        h = _rrb(params["rrb1"][L], h)
+        h = _rrb(params["rrb1"][L], h, bn_updates, ("rrb1", L))
         h = _cab(params["cab"][L], hpool, h, deepest=(i == 0))
-        x = _rrb(params["rrb2"][L], h)
-    return _upsampler(params["up"], x, image_size)
+        x = _rrb(params["rrb2"][L], h, bn_updates, ("rrb2", L))
+    logits = _upsampler(params["up"], x, image_size)
+    if train_bn:
+        return logits, bn_updates
+    return logits
+
+
+def apply_bn_updates(params, bn_updates):
+    """Fold train-mode BN running-stat updates back into the params pytree."""
+    params = dict(params)
+    for (rrb, L), stats in bn_updates.items():
+        params[rrb] = dict(params[rrb])
+        params[rrb][L] = dict(params[rrb][L])
+        params[rrb][L]["bn"] = stats
+    return params

@@ -1,3 +1,4 @@
 from .tracker import Tracker
+from .trainer import Trainer, TrainerModel, TModelCache
 
-__all__ = ["Tracker"]
+__all__ = ["Tracker", "Trainer", "TrainerModel", "TModelCache"]

@@ -67,8 +67,14 @@ def save_pytree(path, tree):
 
 def load_pytree(path):
     path = str(path).removesuffix(".npz")
-    with np.load(path + ".npz") as z:
-        leaves = [jnp.asarray(z[str(i)]) for i in range(len(z.files))]
+    with np.load(path + ".npz", allow_pickle=True) as z:
+        leaves = []
+        for i in range(len(z.files)):
+            a = z[str(i)]
+            if a.dtype.kind in "biufc":  # numeric -> device array
+                leaves.append(jnp.asarray(a))
+            else:  # strings/objects (e.g. a session name) stay host-side
+                leaves.append(a.item() if a.ndim == 0 else a)
     with open(path + ".treedef", "rb") as f:
         treedef = pickle.load(f)
     return jax.tree.unflatten(treedef, leaves)
