@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark: DAVIS-2017-shaped tracking throughput per chip.
+
+Runs the flagship rn101 tracker on a synthetic 480x854 single-object sequence
+(the DAVIS resolution) on one chip: full per-frame hot path — backbone
+pyramid, target-model classification, decoder refinement, soft aggregation,
+online update with the every-8th-frame GN-CG re-solve — after a speedrun
+warm-up pass, mirroring the reference's FPS protocol
+(/root/reference/model/tracker.py:120-127,159-161; synchronize-bounded
+wall-clock over frames). Mask quality is not measurable here (no pretrained
+weights in this environment), so this measures throughput only.
+
+Prints ONE JSON line:
+  {"metric": "dv2017_frames_per_sec_per_chip_rn101", "value": N,
+   "unit": "fps", "vs_baseline": N / 21.9}
+(baseline: the paper's ~21.9 FPS for FRTM rn101 on a V100, BASELINE.md)."""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+REFERENCE_FPS = 21.9  # FRTM rn101, DAVIS, V100 (BASELINE.md)
+
+
+def main():
+    import jax
+    # persistent compile cache: first run through the remote-compile tunnel is
+    # slow (~90s/program); later runs hit this cache
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from dataclasses import replace
+    from frtm_tpu.config import eval_config
+    from frtm_tpu.models import init_resnet, init_seg_network, resnet_out_channels
+    from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
+    from frtm_tpu.data.synthetic import make_moving_square_sequence
+
+    arch = "resnet101"
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 17
+    platform = jax.devices()[0].platform
+
+    cfg = eval_config(arch, fast=False,
+                      compute_dtype="bfloat16" if platform != "cpu" else "float32")
+    backbone = init_resnet(jax.random.PRNGKey(0), arch)
+    ch = {L: c for L, c in resnet_out_channels(arch).items() if L in cfg.refnet_layers}
+    refiner = init_seg_network(jax.random.PRNGKey(1), ch, use_bn=cfg.refnet_use_bn)
+    tracker = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=8)
+
+    seq = make_moving_square_sequence(n_frames=n_frames, size=(480, 854),
+                                      square=120, n_objects=1, seed=0)
+
+    # speedrun warm-up compiles every per-frame program, then measure
+    _, fps = tracker.run_sequence(seq, speedrun=True)
+    print("phase breakdown:\n" + tracker.last_phase_report, file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "dv2017_frames_per_sec_per_chip_rn101",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / REFERENCE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

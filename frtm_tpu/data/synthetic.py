@@ -25,7 +25,15 @@ class SyntheticSequence:
     def __getitem__(self, i):
         f = self.frame_names[i]
         new_objects = self.start_frames.get(f, [])
-        lb = self.labels[i] if new_objects else []
+        lb = []
+        if new_objects:
+            # suppress labels of objects outside their start frame, like
+            # FileSequence does (datasets.py)
+            lb = self.labels[i]
+            keep = set([0] + list(new_objects))
+            suppress = [int(o) for o in np.unique(lb) if int(o) not in keep]
+            for o in suppress:
+                lb = np.where(lb == o, 0, lb).astype(lb.dtype)
         return self.images[i], lb, list(new_objects)
 
     def annotations(self):

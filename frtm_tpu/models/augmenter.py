@@ -102,10 +102,14 @@ def center_bbox_from_mask(mask) -> tuple:
 
 class ImageAugmenter:
 
-    def __init__(self, params: dict):
+    def __init__(self, params: dict, backend: str = "cv2"):
         """:param params: dict with num_aug, min_px_count, fg_aug_params,
-        and optional bg_aug_params (parameter-selection lists)."""
+        and optional bg_aug_params (parameter-selection lists)
+        :param backend: 'cv2' (host warps — fastest when host<->device
+        bandwidth is limited; matches the reference's CPU dispatch path,
+        lib/image.py:47-50) or 'xla' (device warps via ops/warp)."""
         self.params = params
+        self.backend = backend
         self.max_retries = 100
 
     # -- spec generation ----------------------------------------------------
@@ -200,35 +204,47 @@ class ImageAugmenter:
         inpainted = (bim * m + (1 - m) * inpainted).astype(np.uint8)
         return target.astype(np.float32), inpainted
 
-    # -- device-side warp / filter / paste ---------------------------------
+    # -- warp / filter / paste (host cv2 or device XLA backend) -------------
 
-    @staticmethod
-    def _filter_image(img, kernel):
+    def _warp(self, img, T, mode):
+        if self.backend == "cv2":
+            flags = dict(nearest=cv2.INTER_NEAREST, bilinear=cv2.INTER_LINEAR,
+                         bicubic=cv2.INTER_CUBIC)[mode]
+            img = np.ascontiguousarray(np.asarray(img, np.float32))
+            out = cv2.warpAffine(img, np.asarray(T, np.float32)[:2],
+                                 (img.shape[1], img.shape[0]), flags=flags)
+            return np.atleast_3d(out)
+        return np.asarray(warp_affine(jnp.asarray(img, jnp.float32), T,
+                                      img.shape[:2], mode))
+
+    def _filter_image(self, img, kernel):
         """Per-channel 2-D filtering (reference filter_image, lines 342-352)."""
         if kernel.shape == (1, 1):
             return img
+        if self.backend == "cv2":
+            img = np.asarray(img, np.float32)
+            return np.atleast_3d(cv2.filter2D(img, -1, kernel,
+                                              borderType=cv2.BORDER_CONSTANT))
         k = jnp.asarray(kernel, jnp.float32)[..., None, None]  # (fh, fw, 1, 1)
-        x = jnp.moveaxis(img, -1, 0)[..., None]                # (C, H, W, 1)
+        x = jnp.moveaxis(jnp.asarray(img, jnp.float32), -1, 0)[..., None]
         y = conv2d(x, k)
-        return jnp.moveaxis(y[..., 0], 0, -1)
+        return np.asarray(jnp.moveaxis(y[..., 0], 0, -1))
 
     def warp_and_filter_image(self, image, T, G):
         """Whole-image warp + blur (bg augmentation; reference lines 354-368)."""
-        img = jnp.asarray(image, jnp.float32)
-        out = jnp.clip(warp_affine(img, T, img.shape[:2], "bicubic"), 0, 255)
+        out = np.clip(self._warp(image, T, "bicubic"), 0, 255)
         return self._filter_image(out, G)
 
     def warp_filter_and_paste(self, image, target, labels, T, G):
         """Warp target RGBA + labels, blur target, alpha-paste into image
         (reference lines 371-404)."""
-        image = jnp.asarray(image, jnp.float32)
-        sz = image.shape[:2]
-        tgt = jnp.clip(warp_affine(jnp.asarray(target, jnp.float32), T, sz, "bicubic"), 0, 255)
-        wlabels = warp_affine(jnp.asarray(labels, jnp.float32), T, sz, "nearest")
+        image = np.asarray(image, np.float32)
+        tgt = np.clip(self._warp(target, T, "bicubic"), 0, 255)
+        wlabels = self._warp(labels, T, "nearest")
         tgt = self._filter_image(tgt, G)
         alpha = tgt[..., 3:4] / 255.0
         out = tgt[..., :3] * alpha + image * (1.0 - alpha)
-        return jnp.clip(out, 0, 255), wlabels
+        return np.clip(out, 0, 255), wlabels
 
     # -- verification -------------------------------------------------------
 
@@ -292,7 +308,7 @@ class ImageAugmenter:
                                               limit_scale=False)
                     wimage = self.warp_and_filter_image(inpainted, T, G)
                 else:
-                    wimage = jnp.asarray(inpainted, jnp.float32)
+                    wimage = np.asarray(inpainted, np.float32)
                 T, G = self.get_transform(fg_spec, tg_bbox, im_sz)
                 wimage, wlabels = self.warp_filter_and_paste(wimage, target, mask, T, G)
                 wlabels_np = np.asarray(wlabels)

@@ -44,8 +44,14 @@ class DiscConfig:
     memory_size: int = 80
     train_skipping: int = 8
     learning_rate: float = 0.1
-    pixel_weighting_method: str = "hinge"
+    pixel_weighting_method: str = "hinge"   # 'none'|'fixed'|'hinge'|'first-frame'
     pixel_weighting_tf: float = 0.1
+    pixel_weighting_per_frame: bool = True  # legacy stack: False = global af
+    distractor_mult: float = 1.0            # weight multiplier where labels > 1
+    update_method: str = "frtm"  # 'frtm' (main stack: soft label, thresholded
+    # weights) | legacy 'thresh'/'conf'/'raw'/'raw-conf'
+    # (/root/reference/ytvos_validation/discriminator.py:374-394)
+    clamp_output: bool = False   # clamp scores to (-0.1, 1.2) (legacy :341-344)
     layer: str = "layer4"
 
     @property
@@ -80,22 +86,45 @@ def init_disc_params(key, cfg: DiscConfig) -> DiscParams:
 
 
 def compute_pixel_weights(y, cfg: DiscConfig):
-    """Hinge pixel weighting (reference discriminator.py:107-152): foreground
-    influence clamped at tf; small objects (<10 px) treated as af = tf; returns
-    sqrt of the per-pixel weight. y: (N, H, W, 1) in [0, 1]."""
-    if cfg.pixel_weighting_method == "none":
+    """Pixel weighting (reference discriminator.py:107-152 and the legacy
+    stack's richer variants, ytvos_validation/discriminator.py:162-223):
+      * 'fixed': foreground weighted to a fixed target influence tf
+      * 'hinge': like fixed, but disabled (weights 1) once af > tf
+      * 'first-frame': every sample reuses the first sample's af
+      * per_frame=False: af computed globally over all samples
+      * distractor_mult: extra weight where labels > 1 (distractor objects)
+    Small objects (<10 px) are treated as af = tf. Returns sqrt of the
+    per-pixel weight. y: (N, H, W, 1), values in [0, 1] (or >1 = distractor)."""
+    method = cfg.pixel_weighting_method
+    if method == "none":
         return jnp.ones_like(y, jnp.float32)
-    assert cfg.pixel_weighting_method == "hinge"
+    assert method in ("fixed", "hinge", "first-frame")
     tf = cfg.pixel_weighting_tf
     y = y.astype(jnp.float32)
+    distractors = y > 1
     N, H, W, _ = y.shape
-    px = y.sum(axis=(1, 2, 3)).reshape(N, 1, 1, 1)
-    af = px / (H * W)
+    if cfg.pixel_weighting_per_frame:
+        px = y.sum(axis=(1, 2, 3)).reshape(N, 1, 1, 1)
+        af = px / (H * W)
+    else:
+        px = y.sum() * jnp.ones((N, 1, 1, 1))
+        af = px / y.size
     af = jnp.where(px < 10, tf, af)
-    tf_eff = jnp.where(af > tf, af, tf)
+    if method == "hinge":
+        tf_eff = jnp.where(af > tf, af, tf)
+    elif method == "first-frame":
+        af = jnp.broadcast_to(af[0:1], af.shape)
+        tf_eff = jnp.where(af > tf, af, tf)
+    else:  # fixed
+        tf_eff = jnp.full_like(af, tf)
     wf = tf_eff / af
+    wf = jnp.where(jnp.isfinite(wf), wf, 1.0)
     wb = (1.0 - tf_eff) / (1.0 - af)
-    return jnp.sqrt(wf * y + wb * (1.0 - y))
+    wb = jnp.where(jnp.isfinite(wb), wb, 1.0)
+    w = wf * y + wb * (1.0 - y)
+    if cfg.distractor_mult != 1.0:
+        w = jnp.where(distractors, w * cfg.distractor_mult, w)
+    return jnp.sqrt(w)
 
 
 def _effective_weights(memory: MemoryState):
@@ -165,13 +194,45 @@ def disc_init(params: DiscParams, features, labels, cfg: DiscConfig):
     return params, DiscState(memory=mem2, cg=cg, frame_num=jnp.zeros((), jnp.int32))
 
 
-def disc_apply(params: DiscParams, ft):
+def disc_apply(params: DiscParams, ft, clamp_output: bool = False):
     """Classify one frame's features: returns (coarse scores, compressed sample).
     The compressed sample is what `disc_update` later inserts into memory
-    (reference discriminator.py:201-206 caches it as `current_sample`)."""
+    (reference discriminator.py:201-206 caches it as `current_sample`).
+    clamp_output bounds scores to (-0.1, 1.2) (legacy stack option)."""
     cft = conv2d(ft, params.project)
     scores = conv2d(cft, params.filter)
+    if clamp_output:
+        scores = jnp.clip(scores, -0.1, 1.2)
     return scores, cft
+
+
+def online_update_weights(train_y, cfg: DiscConfig):
+    """Label + pixel-weight pair for an online memory insert, per update mode
+    (main stack: reference discriminator.py:214-219; legacy modes:
+    ytvos_validation/discriminator.py:374-394).
+
+    :param train_y: (H, W, 1) soft mask
+    :return: (label_to_store (H,W,1), pixel_weights (H,W,1))
+    """
+    m = cfg.update_method
+    if m == "frtm":  # store the soft mask, weights from the thresholded mask
+        ys = (train_y > 0.5).astype(jnp.float32)
+        pw = compute_pixel_weights(ys[None], cfg)[0]
+        return train_y, pw
+    if m == "thresh":
+        ys = (train_y > 0.5).astype(jnp.float32)
+        pw = compute_pixel_weights(ys[None], cfg)[0]
+        return ys, pw
+    if m == "conf":
+        ys = (train_y > 0.5).astype(jnp.float32)
+        conf = 2.0 * jnp.abs(0.5 - train_y)
+        pw = jnp.sqrt(conf) * compute_pixel_weights(ys[None], cfg)[0]
+        return ys, pw
+    if m == "raw":
+        return train_y, jnp.ones_like(train_y)
+    if m == "raw-conf":
+        return train_y, 2.0 * jnp.abs(train_y - 0.5)
+    raise ValueError(f"unknown update_method: {m}")
 
 
 def filter_resolve(params: DiscParams, state: DiscState, cfg: DiscConfig) -> Tuple[DiscParams, CGState]:
@@ -200,11 +261,10 @@ def disc_update(params: DiscParams, state: DiscState, compressed_sample, train_y
     :return: (DiscParams, DiscState)
     """
     frame_num = state.frame_num + 1
-    ys = (train_y > 0.5).astype(jnp.float32)
-    enough_fg = ys.sum() >= 10
+    enough_fg = (train_y > 0.5).sum() >= 10
 
-    pw = compute_pixel_weights(ys[None], cfg)[0]
-    new_mem = memory_update(state.memory, compressed_sample, train_y, pw,
+    label, pw = online_update_weights(train_y, cfg)
+    new_mem = memory_update(state.memory, compressed_sample, label, pw,
                             cfg.learning_rate)
     memory = jax.tree.map(lambda a, b: jnp.where(enough_fg, a, b), new_mem, state.memory)
     state = state._replace(memory=memory, frame_num=frame_num)

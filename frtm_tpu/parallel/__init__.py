@@ -1,0 +1,4 @@
+from .mesh import make_mesh, replicated, batch_sharded
+from .train_step import make_sharded_train_step
+
+__all__ = ["make_mesh", "replicated", "batch_sharded", "make_sharded_train_step"]

@@ -1,0 +1,330 @@
+"""Fused sequence tracker — the TPU-native fast path.
+
+The reference processes one frame at a time on the hot path
+(/root/reference/model/tracker.py:193-227): extract -> per-object classify ->
+refine -> merge -> update, all as separate host-driven calls. Two structural
+facts let a TPU do much better (SURVEY.md §5 'long-context' analysis):
+
+  1. The backbone is frozen and stateless, so feature extraction for the
+     WHOLE sequence batches over frames and runs at full MXU utilisation
+     before tracking starts. Likewise the per-object projection (fixed after
+     init) compresses all frames up front.
+  2. The remaining per-frame dependency chain (filter -> mask -> memory ->
+     every-8th-frame re-solve) is small, static-shaped state — exactly what
+     `lax.scan` wants. The whole frame loop compiles to ONE XLA program with
+     the GN-CG re-solve as a `lax.cond`; objects are a vmapped axis with
+     per-object validity (mid-sequence YouTubeVOS entries become start-frame
+     masks, not dynamic shapes).
+
+Two merge modes:
+  * 'online'  — the main tracker's semantics: per-frame soft aggregation with
+    newly-entered objects' ground-truth rows participating, labels emitted
+    per frame (reference model/tracker.py:140-150, 193-227).
+  * 'deferred' — the legacy YTVOS stack's semantics: per-frame updates use
+    the exclusive merge, but outputs are the raw (suppressed) per-object soft
+    masks, assembled and merged once over the whole sequence with ground
+    truth inserted at start frames (reference
+    ytvos_validation/tracker.py:100-118 — the batch-style post-merge that
+    reproduces the published 72% YTVOS configuration).
+"""
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import TrackerConfig
+from ..models.resnet import extract_features
+from ..models.seg_network import seg_network_apply
+from ..models.discriminator import (
+    disc_init, disc_apply, filter_resolve, init_disc_params,
+    online_update_weights, DiscParams, DiscState,
+)
+from ..models.memory import memory_update
+from ..models.augmenter import ImageAugmenter
+from ..ops.conv import conv2d
+from .tracker import merge_soft_masks, masks_to_labels
+
+
+def merge_volume(fg, obj_ids_lut):
+    """Whole-volume soft aggregation (legacy merge_segmentations,
+    ytvos_validation/tracker.py:53-62): fg (T, N, H, W) -> (T, H, W) labels."""
+    fg = jnp.clip(fg, 1e-7, 1 - 1e-7)
+    bg = jnp.min(1.0 - fg, axis=1, keepdims=True)
+    p = jnp.concatenate([bg, fg], axis=1)
+    segs = jax.nn.softmax(p / (1.0 - p), axis=1)
+    return obj_ids_lut[jnp.argmax(segs, axis=1)].astype(jnp.uint8)
+
+
+class BatchedSequenceTracker:
+    """Whole-sequence tracking as (batched extract) + (one scan program)."""
+
+    def __init__(self, cfg: TrackerConfig, backbone_params, refiner_params,
+                 extract_chunk: int = 8, merge_mode: str = "online"):
+        assert merge_mode in ("online", "deferred")
+        self.cfg = cfg
+        self.backbone = backbone_params
+        self.refiner = refiner_params
+        self.augmenter = ImageAugmenter(cfg.aug_params)
+        self.arch = cfg.feature_extractor
+        self.disc_cfg = cfg.disc
+        self.extract_chunk = extract_chunk
+        self.merge_mode = merge_mode
+        self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self._disc_params0 = init_disc_params(jax.random.PRNGKey(0), cfg.disc)
+        self.last_phase_report = ""
+
+        cfgl = cfg.refnet_layers
+
+        @jax.jit
+        def _extract(bb, images):
+            return extract_features(bb, images, self.arch, output_layers=cfgl,
+                                    dtype=self.dtype)
+
+        @jax.jit
+        def _extract_disc_layer(bb, images):
+            return extract_features(bb, images, self.arch,
+                                    output_layers=[cfg.disc.layer], dtype=self.dtype)
+
+        @jax.jit
+        def _init_disc(p0, ft, lb):
+            return disc_init(p0, ft, lb, self.disc_cfg)
+
+        self._extract = _extract
+        self._extract_disc_layer = _extract_disc_layer
+        self._init_disc = _init_disc
+        self._scan_track = jax.jit(self._make_scan(), static_argnames=("im_size",))
+        self._merge_volume = jax.jit(merge_volume)
+
+    # ------------------------------------------------------------------
+
+    def _make_scan(self):
+        cfg = self.cfg
+        disc_cfg = self.disc_cfg
+        layers = cfg.refnet_layers
+        online = self.merge_mode == "online"
+
+        def scan_track(refiner, feats_all, compressed_all, disc_params, disc_states,
+                       start_frames, start_masks, obj_ids_lut, im_size):
+            """:param feats_all:      {L: (T', h, w, c)} frames 1..T'
+            :param compressed_all: (T', N, h4, w4, c) projected disc features
+            :param disc_params:    DiscParams batched over N
+            :param disc_states:    DiscState batched over N
+            :param start_frames:   (N,) int32 per-object start frame indices
+            :param start_masks:    (N, H, W) float32 ground-truth start masks
+            :param obj_ids_lut:    (N+1,) int32 labels LUT
+            :return: per-frame outputs (labels or raw soft rows), final state
+            """
+            N = compressed_all.shape[1]
+
+            def frame_step(carry, xs):
+                params, states, t = carry
+                feats_t, cft = xs
+                t = t + 1
+                active = t > start_frames          # (N,) tracked this frame
+                fresh = t == start_frames          # entering this frame
+
+                # classify + refine every object (inactive lanes are wasted
+                # compute but keep shapes static; N is small)
+                scores = jax.vmap(lambda c, p: conv2d(c[None], p.filter)[0])(
+                    cft, params)
+                if disc_cfg.clamp_output:
+                    scores = jnp.clip(scores, -0.1, 1.2)
+                featsN = {L: jnp.broadcast_to(f[None], (N,) + f.shape)
+                          for L, f in feats_t.items()}
+                logits = seg_network_apply(refiner, scores, featsN, im_size,
+                                           layers=layers)
+                y = jax.nn.sigmoid(logits[..., 0])          # (N, H, W)
+                y = y * active.astype(y.dtype)[:, None, None]
+
+                # suppress tracked masks under this frame's entering objects
+                sup = jnp.prod(1.0 - start_masks * fresh.astype(y.dtype)[:, None, None],
+                               axis=0)
+                y = y * sup[None]
+
+                if online:
+                    # entering objects contribute their GT rows to the merge
+                    rows = jnp.where(fresh[:, None, None], start_masks, y)
+                else:
+                    rows = y
+
+                masks = jnp.concatenate(
+                    [jnp.zeros((1,) + rows.shape[1:], rows.dtype), rows])
+                merged = merge_soft_masks(masks)            # (N+1, H, W)
+                out = (masks_to_labels(merged, obj_ids_lut).astype(jnp.uint8)
+                       if online else rows)
+
+                # memory insert per active object (gated on >=10 fg px)
+                train_y = merged[1:][..., None]             # (N, H, W, 1)
+                enough = ((train_y > 0.5).sum(axis=(1, 2, 3)) >= 10) & active
+
+                # frame counter advances for every tracked frame (the
+                # reference increments in apply regardless of mask quality);
+                # the memory insert itself is gated on enough foreground
+                def insert2(state, c, ty, e, act):
+                    label, pw = online_update_weights(ty, disc_cfg)
+                    new_mem = memory_update(state.memory, c, label, pw,
+                                            disc_cfg.learning_rate)
+                    mem = jax.tree.map(lambda a, b: jnp.where(e, a, b),
+                                       new_mem, state.memory)
+                    return state._replace(
+                        memory=mem,
+                        frame_num=state.frame_num + act.astype(jnp.int32))
+
+                states = jax.vmap(insert2)(states, cft, train_y, enough, active)
+
+                # filter re-solve on each object's own cadence; the solve runs
+                # when ANY object is due (objects entering mid-sequence have
+                # different parities), lanes select their own result
+                due = active & (states.frame_num % disc_cfg.train_skipping == 0) \
+                    & enough
+
+                def resolve(args):
+                    params, states = args
+                    new_p, new_cg = jax.vmap(
+                        lambda p, s: filter_resolve(p, s, disc_cfg))(params, states)
+                    sel = lambda a, b: jnp.where(
+                        due.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+                    params = jax.tree.map(sel, new_p, params)
+                    new_states = states._replace(cg=new_cg)
+                    states = jax.tree.map(sel, new_states, states)
+                    return params, states
+
+                params, states = lax.cond(jnp.any(due), resolve, lambda a: a,
+                                          (params, states))
+                return (params, states, t), out
+
+            (params, states, _), outs = lax.scan(
+                frame_step,
+                (disc_params, disc_states, jnp.zeros((), jnp.int32)),
+                (feats_all, compressed_all))
+            return outs, params, states
+
+        return scan_track
+
+    # ------------------------------------------------------------------
+
+    def _extract_sequence(self, images_np):
+        """Chunked batched feature extraction over all frames."""
+        T = images_np.shape[0]
+        C = self.extract_chunk
+        outs = []
+        for s in range(0, T, C):
+            chunk = images_np[s:s + C]
+            pad = C - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
+                                                        chunk.dtype)])
+            f = self._extract(self.backbone, jnp.asarray(chunk))
+            outs.append({L: v[:C - pad] if pad else v for L, v in f.items()})
+        return {L: jnp.concatenate([o[L] for o in outs]) for L in outs[0]}
+
+    def _collect_objects(self, sequence):
+        """(obj_ids, start_frame_idx per object, start mask per object,
+        init image per object) from the sequence's start-frame metadata."""
+        frame_of = {f: i for i, f in enumerate(sequence.frame_names)}
+        objects = []
+        for frame_name, obj_ids in sequence.start_frames.items():
+            idx = frame_of[frame_name]
+            image, labels, _ = sequence[idx]
+            for obj_id in obj_ids:
+                mask = (np.asarray(labels).squeeze() == obj_id).astype(np.float32)
+                objects.append((obj_id, idx, mask, image))
+        objects.sort(key=lambda o: (o[1], o[0]))
+        return objects
+
+    def run_sequence(self, sequence, speedrun: bool = False):
+        """Track a sequence (mid-sequence object entry supported).
+        Returns (list of (H, W) uint8 label images, fps)."""
+        images_np = np.stack([sequence[t][0] for t in range(len(sequence))])
+
+        if speedrun:
+            self._run(images_np, sequence)
+
+        from ..utils.profiling import PhaseTimer
+        timer = PhaseTimer(sync=False)
+        t0 = time.time()
+        outputs = self._run(images_np, sequence, timer=timer)
+        jax.block_until_ready(outputs[-1])
+        fps = len(sequence) / max(time.time() - t0, 1e-9)
+        self.last_phase_report = timer.report()
+        return [np.asarray(o).astype(np.uint8) for o in outputs], fps
+
+    def _run(self, images_np, sequence, timer=None):
+        from ..utils.profiling import PhaseTimer
+        timer = timer or PhaseTimer(sync=False)
+        T = images_np.shape[0]
+        im_size = tuple(images_np.shape[1:3])
+        objects = self._collect_objects(sequence)
+        if not objects:
+            raise ValueError("sequence has no objects")
+
+        # per-object init (augment on host once per object, GN-CG on device)
+        params_list, states_list = [], []
+        for obj_id, start_idx, mask, image in objects:
+            rng = np.random.RandomState(0)
+            with timer.phase("augment"):
+                im_aug, lb_aug = self.augmenter.augment_first_frame(
+                    image, mask[..., None], rng)
+            with timer.phase("disc_init"):
+                ft = self._extract_disc_layer(
+                    self.backbone, jnp.asarray(im_aug.astype(np.uint8)))
+                p, s = self._init_disc(self._disc_params0,
+                                       ft[self.disc_cfg.layer],
+                                       jnp.asarray(lb_aug))
+            params_list.append(p)
+            states_list.append(s)
+        disc_params = jax.tree.map(lambda *x: jnp.stack(x), *params_list)
+        disc_states = jax.tree.map(lambda *x: jnp.stack(x), *states_list)
+        start_frames = jnp.asarray([o[1] for o in objects], jnp.int32)
+        start_masks = jnp.asarray(np.stack([o[2] for o in objects]))
+        obj_ids = [o[0] for o in objects]
+
+        # batched extraction of frames 1..T-1 + per-object projection
+        with timer.phase("extract"):
+            feats_all = self._extract_sequence(images_np[1:])
+        ft4 = feats_all[self.disc_cfg.layer]                 # (T-1, h, w, Cin)
+        compressed_all = jnp.einsum("thwc,ncd->tnhwd", ft4,
+                                    disc_params.project[:, 0, 0])
+
+        # bucket the scan length so different sequence lengths share programs
+        n_track = T - 1
+        bucket = -(-n_track // self.extract_chunk) * self.extract_chunk
+        pad = bucket - n_track
+        if pad:
+            feats_all = {L: jnp.concatenate(
+                [v, jnp.repeat(v[-1:], pad, axis=0)]) for L, v in feats_all.items()}
+            compressed_all = jnp.concatenate(
+                [compressed_all, jnp.repeat(compressed_all[-1:], pad, axis=0)])
+
+        lut = jnp.asarray([0] + obj_ids, jnp.int32)
+        with timer.phase("scan"):
+            outs, _, _ = self._scan_track(
+                self.refiner, feats_all, compressed_all, disc_params, disc_states,
+                start_frames, start_masks, lut, im_size=im_size)
+            outs.block_until_ready()
+
+        frame0_label = self._frame0_label(objects, im_size)
+        if self.merge_mode == "online":
+            return [frame0_label] + [outs[t] for t in range(n_track)]
+
+        # deferred: assemble the whole soft volume, insert GT at start frames,
+        # merge once (legacy ytvos_validation/tracker.py:107-116)
+        with timer.phase("deferred_merge"):
+            fg = jnp.concatenate(
+                [jnp.zeros((1,) + outs.shape[1:], outs.dtype), outs[:n_track]])
+            for k, (obj_id, start_idx, mask, _) in enumerate(objects):
+                fg = fg.at[start_idx, k].set(jnp.asarray(mask))
+            labels = self._merge_volume(fg, lut)
+            labels.block_until_ready()
+        return [labels[t] for t in range(T)]
+
+    def _frame0_label(self, objects, im_size):
+        lb = np.zeros(im_size, np.uint8)
+        for obj_id, start_idx, mask, _ in objects:
+            if start_idx == 0:
+                lb[mask > 0] = obj_id
+        return jnp.asarray(lb)

@@ -1,0 +1,52 @@
+"""Profiling as a first-class module (the reference has only ad-hoc wall
+clocks and a commented-out autograd profiler — SURVEY.md §5): named phase
+timers with block_until_ready-accurate device timing, and a thin wrapper
+over jax.profiler for XLA traces."""
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+
+import jax
+
+
+class PhaseTimer:
+    """Accumulates wall time per named phase; device work is fenced so the
+    numbers mean what they say."""
+
+    def __init__(self, sync: bool = True):
+        self.totals = defaultdict(float)
+        self.counts = defaultdict(int)
+        self.sync = sync
+
+    @contextmanager
+    def phase(self, name, fence=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if fence is not None and self.sync:
+                jax.block_until_ready(fence)
+            dt = time.perf_counter() - t0
+            self.totals[name] += dt
+            self.counts[name] += 1
+
+    def report(self):
+        lines = []
+        for name in sorted(self.totals, key=self.totals.get, reverse=True):
+            t, n = self.totals[name], self.counts[name]
+            lines.append(f"{name}: {t:.3f}s total, {t / n * 1000:.1f}ms/call x{n}")
+        return "\n".join(lines)
+
+    def reset(self):
+        self.totals.clear()
+        self.counts.clear()
+
+
+@contextmanager
+def xla_trace(log_dir):
+    """Capture an XLA profiler trace viewable in TensorBoard/Perfetto."""
+    jax.profiler.start_trace(str(log_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
