@@ -45,8 +45,11 @@ class FileSequence:
 
     def preload(self):
         """Read every frame up front (the reference preloads to GPU; we read to
-        host memory — frames stream to the device inside the tracker)."""
-        self.preloaded = [imread(f) for f in self.images]
+        host memory — frames stream to the device inside the tracker). Uses
+        the native thread-pool JPEG decoder when built."""
+        from .image import imread_batch
+        frames = imread_batch(self.images)
+        self.preloaded = [frames[i] for i in range(len(self.images))]
 
     def __getitem__(self, item):
         im = self.preloaded[item] if self.preloaded is not None else imread(self.images[item])

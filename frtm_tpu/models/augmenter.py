@@ -102,13 +102,19 @@ def center_bbox_from_mask(mask) -> tuple:
 
 class ImageAugmenter:
 
-    def __init__(self, params: dict, backend: str = "cv2"):
+    def __init__(self, params: dict, backend: str = "auto"):
         """:param params: dict with num_aug, min_px_count, fg_aug_params,
         and optional bg_aug_params (parameter-selection lists)
-        :param backend: 'cv2' (host warps — fastest when host<->device
-        bandwidth is limited; matches the reference's CPU dispatch path,
-        lib/image.py:47-50) or 'xla' (device warps via ops/warp)."""
+        :param backend: 'native' (frtm_native C++ warps, threaded),
+        'cv2' (host warps matching the reference's CPU dispatch path,
+        lib/image.py:47-50), 'xla' (device warps via ops/warp), or 'auto'
+        (native if built, else cv2). Host backends win when host<->device
+        bandwidth is limited; init-time augmentation is host latency-bound."""
         self.params = params
+        if backend == "auto":
+            # cv2's SIMD warps beat the scalar native kernel on few-core
+            # hosts; the native library still serves the IO data path
+            backend = "cv2"
         self.backend = backend
         self.max_retries = 100
 
@@ -207,21 +213,28 @@ class ImageAugmenter:
     # -- warp / filter / paste (host cv2 or device XLA backend) -------------
 
     def _warp(self, img, T, mode):
+        return self._warp_sized(img, T, np.asarray(img).shape[:2], mode)
+
+    def _warp_sized(self, img, T, size, mode):
+        if self.backend == "native":
+            from ..utils import native as _native
+            img = np.asarray(img, np.float32)
+            return _native.warp_affine(img, T, size, mode)
         if self.backend == "cv2":
             flags = dict(nearest=cv2.INTER_NEAREST, bilinear=cv2.INTER_LINEAR,
                          bicubic=cv2.INTER_CUBIC)[mode]
             img = np.ascontiguousarray(np.asarray(img, np.float32))
-            out = cv2.warpAffine(img, np.asarray(T, np.float32)[:2],
-                                 (img.shape[1], img.shape[0]), flags=flags)
+            out = cv2.warpAffine(img, np.asarray(T, np.float64)[:2],
+                                 (size[1], size[0]), flags=flags)
             return np.atleast_3d(out)
         return np.asarray(warp_affine(jnp.asarray(img, jnp.float32), T,
-                                      img.shape[:2], mode))
+                                      size, mode))
 
     def _filter_image(self, img, kernel):
         """Per-channel 2-D filtering (reference filter_image, lines 342-352)."""
         if kernel.shape == (1, 1):
             return img
-        if self.backend == "cv2":
+        if self.backend in ("cv2", "native"):
             img = np.asarray(img, np.float32)
             return np.atleast_3d(cv2.filter2D(img, -1, kernel,
                                               borderType=cv2.BORDER_CONSTANT))
@@ -231,20 +244,65 @@ class ImageAugmenter:
         return np.asarray(jnp.moveaxis(y[..., 0], 0, -1))
 
     def warp_and_filter_image(self, image, T, G):
-        """Whole-image warp + blur (bg augmentation; reference lines 354-368)."""
-        out = np.clip(self._warp(image, T, "bicubic"), 0, 255)
+        """Whole-image warp + blur (bg augmentation; reference lines 354-368).
+        Identity transforms (the common bg spec: scale 1, rotation 0) skip the
+        warp entirely — bitwise equivalent, large host-time saving."""
+        if np.allclose(T, np.eye(3), atol=1e-12):
+            out = np.asarray(np.atleast_3d(image), np.float32)
+        else:
+            out = np.clip(self._warp(image, T, "bicubic"), 0, 255)
         return self._filter_image(out, G)
 
-    def warp_filter_and_paste(self, image, target, labels, T, G):
+    def warp_filter_and_paste(self, image, target, labels, T, G, src_bbox=None):
         """Warp target RGBA + labels, blur target, alpha-paste into image
-        (reference lines 371-404)."""
-        image = np.asarray(image, np.float32)
-        tgt = np.clip(self._warp(target, T, "bicubic"), 0, 255)
-        wlabels = self._warp(labels, T, "nearest")
+        (reference lines 371-404).
+
+        When the target's source bounding box is known, the warp is restricted
+        to the axis-aligned box of its transformed corners (plus interpolation
+        and blur margins) — outside that support the warped alpha and labels
+        are exactly zero, so the result is identical to warping the full
+        canvas at a fraction of the (single-core) host cost."""
+        image = np.asarray(np.atleast_3d(image), np.float32)
+        H, W = image.shape[:2]
+
+        if src_bbox is None:
+            tgt = np.clip(self._warp(target, T, "bicubic"), 0, 255)
+            wlabels = self._warp(labels, T, "nearest")
+            tgt = self._filter_image(tgt, G)
+            alpha = tgt[..., 3:4] / 255.0
+            out = tgt[..., :3] * alpha + image * (1.0 - alpha)
+            return np.clip(out, 0, 255), wlabels
+
+        cx, cy, bw, bh = src_bbox
+        khalf = G.shape[0] // 2
+        margin = 3 + khalf  # bicubic support + blur kernel half-width
+        corners = np.array([
+            [cx - bw / 2, cy - bh / 2, 1], [cx + bw / 2, cy - bh / 2, 1],
+            [cx - bw / 2, cy + bh / 2, 1], [cx + bw / 2, cy + bh / 2, 1],
+        ]).T
+        tc = np.asarray(T) @ corners
+        tc = tc[:2] / tc[2]
+        x0 = int(np.floor(tc[0].min())) - margin
+        x1 = int(np.ceil(tc[0].max())) + margin + 1
+        y0 = int(np.floor(tc[1].min())) - margin
+        y1 = int(np.ceil(tc[1].max())) + margin + 1
+        x0, x1 = max(0, x0), min(W, x1)
+        y0, y1 = max(0, y0), min(H, y1)
+        wlabels = np.zeros(labels.shape[:2] + (1,), np.float32)
+        if x0 >= x1 or y0 >= y1:  # target fully off-frame
+            return image.copy(), wlabels
+
+        Ts = _translate(-x0, -y0) @ np.asarray(T)
+        sub_sz = (y1 - y0, x1 - x0)
+        tgt = np.clip(self._warp_sized(target, Ts, sub_sz, "bicubic"), 0, 255)
+        lbl = self._warp_sized(labels, Ts, sub_sz, "nearest")
         tgt = self._filter_image(tgt, G)
         alpha = tgt[..., 3:4] / 255.0
-        out = tgt[..., :3] * alpha + image * (1.0 - alpha)
-        return np.clip(out, 0, 255), wlabels
+        out = image.copy()
+        out[y0:y1, x0:x1] = np.clip(
+            tgt[..., :3] * alpha + image[y0:y1, x0:x1] * (1.0 - alpha), 0, 255)
+        wlabels[y0:y1, x0:x1] = np.atleast_3d(lbl)
+        return out, wlabels
 
     # -- verification -------------------------------------------------------
 
@@ -301,7 +359,14 @@ class ImageAugmenter:
             fg_specs = self.generate_specs(fg_sel, rng)
             bg_specs = (self.generate_specs(bg_sel, rng) if bg_sel is not None
                         else [None] * len(fg_specs))
+            # The reference evaluates all ~19 over-generated specs, drops the
+            # bad ones, then picks a uniform random N-subset (augmenter.py
+            # :516-545). Specs are exchangeable (independently shuffled
+            # parameter lists), so evaluating lazily and stopping at the first
+            # N good frames draws from the same distribution at ~N/19 the cost.
             for fg_spec, bg_spec in zip(fg_specs, bg_specs):
+                if len(aug_images) >= N:
+                    break
                 if bg_spec is not None:
                     h, w = im_sz
                     T, G = self.get_transform(bg_spec, (w / 2, h / 2, w, h), im_sz,
@@ -310,17 +375,12 @@ class ImageAugmenter:
                 else:
                     wimage = np.asarray(inpainted, np.float32)
                 T, G = self.get_transform(fg_spec, tg_bbox, im_sz)
-                wimage, wlabels = self.warp_filter_and_paste(wimage, target, mask, T, G)
+                wimage, wlabels = self.warp_filter_and_paste(wimage, target, mask,
+                                                             T, G, src_bbox=tg_bbox)
                 wlabels_np = np.asarray(wlabels)
                 if self.verify_frame([1], wlabels_np, no_background):
                     aug_images.append(np.asarray(wimage))
                     aug_labels.append(wlabels_np)
-
-        if len(aug_images) > N:
-            order = list(range(len(aug_images)))
-            rng.shuffle(order)
-            aug_images = [aug_images[i] for i in order[:N]]
-            aug_labels = [aug_labels[i] for i in order[:N]]
 
         images = np.stack([image.astype(np.float32)] + aug_images)
         labels = np.stack([mask.astype(np.float32)] + aug_labels)

@@ -44,6 +44,7 @@ class DiscConfig:
     memory_size: int = 80
     train_skipping: int = 8
     learning_rate: float = 0.1
+    update_filters: bool = True  # disable all online updates (reference flag)
     pixel_weighting_method: str = "hinge"   # 'none'|'fixed'|'hinge'|'first-frame'
     pixel_weighting_tf: float = 0.1
     pixel_weighting_per_frame: bool = True  # legacy stack: False = global af
@@ -260,6 +261,8 @@ def disc_update(params: DiscParams, state: DiscState, compressed_sample, train_y
     :param train_y: (H, W, 1) soft merged mask for this object
     :return: (DiscParams, DiscState)
     """
+    if not cfg.update_filters:
+        return params, state._replace(frame_num=state.frame_num + 1)
     frame_num = state.frame_num + 1
     enough_fg = (train_y > 0.5).sum() >= 10
 

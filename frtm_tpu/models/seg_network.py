@@ -219,7 +219,8 @@ _W_ODD = _pyr_taps(-0.75)
 
 def _filt4(x, taps, axis):
     """4-tap 1-D filter along a spatial axis of a replicate-padded NHWC array;
-    output length = in - 3 (matches the valid 4-tap conv)."""
+    output length = in - 3 (matches the valid 4-tap conv). Taps are applied as
+    weak Python floats so the input dtype (e.g. bfloat16) is preserved."""
     n = x.shape[axis] - 3
     sl = [slice(None)] * x.ndim
 
@@ -228,8 +229,8 @@ def _filt4(x, taps, axis):
         sl2[axis] = slice(off, off + n)
         return x[tuple(sl2)]
 
-    return (taps[0] * take(0) + taps[1] * take(1)
-            + taps[2] * take(2) + taps[3] * take(3))
+    t0, t1, t2, t3 = (float(t) for t in taps)
+    return t0 * take(0) + t1 * take(1) + t2 * take(2) + t3 * take(3)
 
 
 def pyr_up_bicubic(x):

@@ -1,0 +1,157 @@
+"""Batched multi-sequence inference across TPU chips (BASELINE config 5).
+
+Entirely new capability vs the reference (single GPU, one sequence at a time
+— SURVEY.md §2.11): independent sequences are stacked on a batch axis that is
+sharded over the device mesh, and the fused per-sequence scan
+(runtime/sequence_tracker.py) is vmapped over that axis. Per-chip tracker
+state (target models, sample memories, CG state) lives where its sequences
+live; no cross-sequence communication exists, so the only collectives are
+none — throughput scales linearly with chips.
+
+Batching rules (static shapes):
+  * sequences are grouped by (image size, bucketed length, padded object
+    count); padded objects get start_frame = infinity (never active), padded
+    frames repeat the last frame and are discarded
+  * groups are padded up to a multiple of the mesh size on the sequence axis
+    by repeating sequences (their outputs are dropped)
+"""
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..runtime.sequence_tracker import BatchedSequenceTracker
+
+
+class ShardedSequenceTracker(BatchedSequenceTracker):
+    """Runs groups of sequences in parallel over a mesh's 'data' axis."""
+
+    def __init__(self, cfg, backbone_params, refiner_params, mesh,
+                 extract_chunk: int = 8, merge_mode: str = "online",
+                 length_bucket: int = 32):
+        super().__init__(cfg, backbone_params, refiner_params,
+                         extract_chunk=extract_chunk, merge_mode=merge_mode)
+        self.mesh = mesh
+        self.length_bucket = length_bucket
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        self.n_devices = n_dev
+
+        self._raw_vscan = jax.vmap(self._make_scan(),
+                                   in_axes=(None, 0, 0, 0, 0, 0, 0, 0, None))
+        self._seq_sh = NamedSharding(mesh, P("data"))
+        self._repl = NamedSharding(mesh, P())
+        self._vscan_cache = {}
+
+    def _get_vscan(self, im_size):
+        """jitted sharded vmapped scan, one program per image size (pjit
+        cannot route static kwargs alongside in_shardings, so im_size is
+        closed over)."""
+        if im_size not in self._vscan_cache:
+            raw = self._raw_vscan
+
+            def fn(refiner, feats, comp, dp, ds, sf, sm, lut):
+                return raw(refiner, feats, comp, dp, ds, sf, sm, lut, im_size)
+
+            self._vscan_cache[im_size] = jax.jit(
+                fn,
+                in_shardings=(self._repl,) + (self._seq_sh,) * 7,
+                out_shardings=self._seq_sh,
+            )
+        return self._vscan_cache[im_size]
+
+    # ------------------------------------------------------------------
+
+    def run_sequences(self, sequences):
+        """Track many sequences; returns {name: [(H, W) uint8 labels]}."""
+        groups = defaultdict(list)
+        prepared = {}
+        for seq in sequences:
+            prep = self._prepare(seq)
+            prepared[seq.name] = (seq, prep)
+            groups[prep["group_key"]].append(seq.name)
+
+        results = {}
+        for key, names in groups.items():
+            results.update(self._run_group([prepared[n] for n in names], key))
+        return results
+
+    def _prepare(self, sequence):
+        """Host-side per-sequence prep: frames, objects, init solves."""
+        images_np = np.stack([sequence[t][0] for t in range(len(sequence))])
+        T = images_np.shape[0]
+        im_size = tuple(images_np.shape[1:3])
+        objects = self._collect_objects(sequence)
+
+        params_list, states_list = [], []
+        for obj_id, start_idx, mask, image in objects:
+            rng = np.random.RandomState(0)
+            im_aug, lb_aug = self.augmenter.augment_first_frame(
+                image, mask[..., None], rng)
+            ft = self._extract_disc_layer(
+                self.backbone, jnp.asarray(im_aug.astype(np.uint8)))
+            p, s = self._init_disc(self._disc_params0, ft[self.disc_cfg.layer],
+                                   jnp.asarray(lb_aug))
+            params_list.append(p)
+            states_list.append(s)
+
+        n_track = T - 1
+        bucket_T = -(-n_track // self.length_bucket) * self.length_bucket
+        group_key = (im_size, bucket_T, len(objects))
+        return dict(images=images_np, objects=objects, params=params_list,
+                    states=states_list, n_track=n_track, bucket_T=bucket_T,
+                    im_size=im_size, group_key=group_key)
+
+    def _run_group(self, seq_preps, key):
+        im_size, bucket_T, n_obj = key
+        B = len(seq_preps)
+        Bp = -(-B // self.n_devices) * self.n_devices  # pad to mesh multiple
+
+        feats_b, comp_b, dp_b, ds_b, sf_b, sm_b, lut_b = [], [], [], [], [], [], []
+        for i in range(Bp):
+            sequence, prep = seq_preps[min(i, B - 1)]
+            feats_all = self._extract_sequence(prep["images"][1:])
+            disc_params = jax.tree.map(lambda *x: jnp.stack(x), *prep["params"])
+            disc_states = jax.tree.map(lambda *x: jnp.stack(x), *prep["states"])
+            ft4 = feats_all[self.disc_cfg.layer]
+            compressed = jnp.einsum("thwc,ncd->tnhwd", ft4,
+                                    disc_params.project[:, 0, 0])
+            pad = bucket_T - prep["n_track"]
+            if pad:
+                feats_all = {L: jnp.concatenate(
+                    [v, jnp.repeat(v[-1:], pad, axis=0)])
+                    for L, v in feats_all.items()}
+                compressed = jnp.concatenate(
+                    [compressed, jnp.repeat(compressed[-1:], pad, axis=0)])
+            feats_b.append(feats_all)
+            comp_b.append(compressed)
+            dp_b.append(disc_params)
+            ds_b.append(disc_states)
+            sf_b.append(np.asarray([o[1] for o in prep["objects"]], np.int32))
+            sm_b.append(np.stack([o[2] for o in prep["objects"]]))
+            lut_b.append(np.asarray([0] + [o[0] for o in prep["objects"]], np.int32))
+
+        stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
+        outs, _, _ = self._get_vscan(im_size)(
+            self.refiner, stack(feats_b), stack(comp_b), stack(dp_b),
+            stack(ds_b), jnp.asarray(np.stack(sf_b)),
+            jnp.asarray(np.stack(sm_b)), jnp.asarray(np.stack(lut_b)))
+        outs = jax.device_get(outs)
+
+        results = {}
+        for i in range(B):
+            sequence, prep = seq_preps[i]
+            if self.merge_mode == "online":
+                frame0 = np.asarray(self._frame0_label(prep["objects"], im_size))
+                labels = [frame0] + [outs[i, t] for t in range(prep["n_track"])]
+            else:
+                fg = np.concatenate([np.zeros((1,) + outs.shape[2:], outs.dtype),
+                                     outs[i, :prep["n_track"]]])
+                for k, (obj_id, start_idx, mask, _) in enumerate(prep["objects"]):
+                    fg[start_idx, k] = mask
+                lut = jnp.asarray([0] + [o[0] for o in prep["objects"]], jnp.int32)
+                merged = self._merge_volume(jnp.asarray(fg), lut)
+                labels = [np.asarray(merged[t]) for t in range(len(prep["images"]))]
+            results[sequence.name] = [np.asarray(l).astype(np.uint8) for l in labels]
+        return results
