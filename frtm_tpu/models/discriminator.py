@@ -25,7 +25,11 @@ import jax.numpy as jnp
 from ..ops.conv import conv2d
 from ..ops.resize import resize_bilinear
 from .memory import MemoryState, memory_init, memory_update
-from .solver import CGState, gauss_newton_cg, init_cg_state, scalar_preconditioner
+from .solver import (
+    CGState, gauss_newton_cg, gauss_newton_cg_quadform, init_cg_state,
+    scalar_preconditioner,
+)
+from .lsq_stencil import precompute_stencil, project_targets
 
 
 @dataclass(frozen=True)
@@ -53,6 +57,9 @@ class DiscConfig:
     # weights) | legacy 'thresh'/'conf'/'raw'/'raw-conf'
     # (/root/reference/ytvos_validation/discriminator.py:374-394)
     clamp_output: bool = False   # clamp scores to (-0.1, 1.2) (legacy :341-344)
+    solver: str = "stencil"  # 'stencil': exact score-space reduction of the
+    # label-space curvature (models/lsq_stencil.py) — same math, no full-res
+    # HBM round trips per CG iteration; 'residual': direct residual form
     layer: str = "layer4"
 
     @property
@@ -154,6 +161,29 @@ def _make_residual_fn(memory: MemoryState, regs, apply_net):
     return residual_fn
 
 
+def _solve(memory: MemoryState, regs, precond, apply_net, theta, state,
+           schedule, cfg: DiscConfig, score_hw):
+    """Run one GN-CG schedule on the memory's weighted LSQ problem, via the
+    configured solver form. apply_net(theta, x) -> (S, h, w, 1)."""
+    M1 = scalar_preconditioner(tuple(jnp.asarray(p, jnp.float32) for p in precond))
+    dff = cfg.direction_forget_factor
+    if cfg.solver == "residual":
+        resid = _make_residual_fn(memory, regs, apply_net)
+        return gauss_newton_cg(resid, theta, state, schedule, M1, dff,
+                               fletcher_reeves=False)
+    assert cfg.solver == "stencil"
+    w2 = jnp.square(_effective_weights(memory))[..., 0]          # (S, H, W)
+    M9 = precompute_stencil(w2, score_hw)
+    v = project_targets(w2, memory.labels[..., 0], score_hw)
+    x = memory.samples
+
+    def net_fn(theta):
+        return apply_net(theta, x)[..., 0]
+
+    return gauss_newton_cg_quadform(net_fn, theta, state, schedule, M1, dff,
+                                    M9, v, regs, fletcher_reeves=False)
+
+
 def disc_init(params: DiscParams, features, labels, cfg: DiscConfig):
     """Two-phase target-model initialisation (reference discriminator.py:154-199).
 
@@ -163,7 +193,7 @@ def disc_init(params: DiscParams, features, labels, cfg: DiscConfig):
     """
     pw = compute_pixel_weights(labels, cfg)
     K = features.shape[0]
-    dff = cfg.direction_forget_factor
+    score_hw = features.shape[1:3]
 
     # Phase 1: joint solve over {project, filter} on raw features
     mem1 = memory_init(K, features, labels, pw)
@@ -172,10 +202,8 @@ def disc_init(params: DiscParams, features, labels, cfg: DiscConfig):
         return conv2d(conv2d(x, theta[0]), theta[1])
 
     theta = (params.project, params.filter)
-    resid = _make_residual_fn(mem1, cfg.filter_reg, joint_net)
-    M1 = scalar_preconditioner(tuple(jnp.asarray(p, jnp.float32) for p in cfg.precond))
-    theta, _ = gauss_newton_cg(resid, theta, init_cg_state(theta), cfg.init_iters,
-                               M1, dff, fletcher_reeves=False)
+    theta, _ = _solve(mem1, cfg.filter_reg, cfg.precond, joint_net, theta,
+                      init_cg_state(theta), cfg.init_iters, cfg, score_hw)
     params = DiscParams(project=theta[0], filter=theta[1])
 
     # Phase 2: re-project, build the big compressed memory, filter-only solve
@@ -186,10 +214,9 @@ def disc_init(params: DiscParams, features, labels, cfg: DiscConfig):
         return conv2d(x, theta[0])
 
     theta_f = (params.filter,)
-    resid2 = _make_residual_fn(mem2, cfg.filter_reg[1:], filter_net)
-    M1f = scalar_preconditioner((jnp.asarray(cfg.precond[1], jnp.float32),))
-    theta_f, cg = gauss_newton_cg(resid2, theta_f, init_cg_state(theta_f),
-                                  cfg.update_iters, M1f, dff, fletcher_reeves=False)
+    theta_f, cg = _solve(mem2, cfg.filter_reg[1:], cfg.precond[1:], filter_net,
+                         theta_f, init_cg_state(theta_f), cfg.update_iters,
+                         cfg, score_hw)
     params = params._replace(filter=theta_f[0])
 
     return params, DiscState(memory=mem2, cg=cg, frame_num=jnp.zeros((), jnp.int32))
@@ -242,11 +269,10 @@ def filter_resolve(params: DiscParams, state: DiscState, cfg: DiscConfig) -> Tup
     def filter_net(theta, x):
         return conv2d(x, theta[0])
 
-    resid = _make_residual_fn(state.memory, cfg.filter_reg[1:], filter_net)
-    M1f = scalar_preconditioner((jnp.asarray(cfg.precond[1], jnp.float32),))
-    theta_f, cg = gauss_newton_cg(resid, (params.filter,), state.cg,
-                                  cfg.update_iters, M1f, cfg.direction_forget_factor,
-                                  fletcher_reeves=False)
+    score_hw = state.memory.samples.shape[1:3]
+    theta_f, cg = _solve(state.memory, cfg.filter_reg[1:], cfg.precond[1:],
+                         filter_net, (params.filter,), state.cg,
+                         cfg.update_iters, cfg, score_hw)
     return params._replace(filter=theta_f[0]), cg
 
 

@@ -141,6 +141,46 @@ def gauss_newton_cg(residual_fn, theta, state: CGState, num_cg_iter: Sequence[in
     return theta, state
 
 
+def gauss_newton_cg_quadform(net_fn, theta, state: CGState, num_cg_iter,
+                             M1, direction_forget_factor: float,
+                             M9, v, regs, fletcher_reeves: bool = False):
+    """GN-CG on the quadratic form of the weighted least-squares loss,
+    ||W(U net(theta) - y)||^2 + sum ||reg_i theta_i||^2, with the label-space
+    curvature U'diag(w^2)U precomputed as an exact 3x3 score-space stencil
+    (models/lsq_stencil.py). Numerically equivalent to running
+    `gauss_newton_cg` on the residual form — same CG trajectory — but every
+    iteration stays at score resolution (no full-res HBM round trips).
+
+    :param net_fn: theta-pytree -> (S, h, w) score maps
+    :param M9:     (S, 3, 3, h, w) stencil from precompute_stencil(w2)
+    :param v:      (S, h, w) projected targets U'(w^2 y)
+    :param regs:   per-block regularisation scalars (match theta leaves)
+    """
+    from .lsq_stencil import apply_stencil
+
+    reg2 = [r * r for r in regs]
+
+    for n_cg in num_cg_iter:
+        s0, jvp_fn = jax.linearize(net_fn, theta)
+        vjp_fn = jax.linear_transpose(jvp_fn, theta)
+
+        def A(p, jvp_fn=jvp_fn, vjp_fn=vjp_fn):
+            back = vjp_fn(apply_stencil(M9, jvp_fn(p)))[0]
+            return jax.tree.map(lambda bb, pp, r2: bb + r2 * pp, back, p,
+                                jax.tree.unflatten(jax.tree.structure(p), reg2))
+
+        g = apply_stencil(M9, s0) - v
+        back0 = vjp_fn(g)[0]
+        b = jax.tree.map(lambda bb, th, r2: -(bb + r2 * th), back0, theta,
+                         jax.tree.unflatten(jax.tree.structure(theta), reg2))
+
+        dx, state = _run_cg(A, b, state, n_cg, M1, direction_forget_factor,
+                            fletcher_reeves)
+        theta = _axpy(state.step_alpha, dx, theta)
+        state = state._replace(step_alpha=jnp.minimum(state.step_alpha * 1.2, 1.0))
+    return theta, state
+
+
 def scalar_preconditioner(diag_M):
     """M1(x) = x / diag_M with per-block scalars (the reference's diag_M,
     /root/reference/model/discriminator.py:63-64)."""

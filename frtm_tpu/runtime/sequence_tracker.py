@@ -271,6 +271,9 @@ class BatchedSequenceTracker:
         from ..utils.profiling import PhaseTimer
         timer = PhaseTimer(sync=False)
         chunks = self._upload_chunks(images_np[1:])  # preload, like the reference
+        jax.block_until_ready([c for c, _ in chunks])  # preload COMPLETES before
+        # the clock starts (reference: sequence.preload(device) precedes the
+        # timed loop, model/tracker.py:88-91,130)
         t0 = time.time()
         outputs = self._run(images_np, sequence, timer=timer, chunks=chunks)
         jax.block_until_ready(outputs[-1])
