@@ -251,41 +251,59 @@ def pyr_up_bicubic(x):
     return out[:, 1:-1, 1:-1, :]
 
 
-def _upsampler(p, x, image_size):
-    x = pyr_up_bicubic(x)
+def _upsampler(p, x, image_size, style="pyrup"):
+    """Two-stage upsampling head. 'pyrup' = the main stack's
+    BackwardCompatibleUpsampler (reference seg_network.py:129-146; what the
+    published checkpoints were trained with); 'bicubic' = the legacy stack's
+    plain interpolating Upsampler (ytvos_validation/seg_network.py:63-77)."""
+    if style == "pyrup":
+        x = pyr_up_bicubic(x)
+        x = relu(_c(p["conv1"], x))
+        x = pyr_up_bicubic(x)
+        x = interpolate(x, image_size)
+        x = _c(p["conv2"], x)
+        return x
+    assert style == "bicubic"
+    from ..ops.resize import resize_bicubic
+    x = resize_bicubic(x, (2 * x.shape[-3], 2 * x.shape[-2]))
     x = relu(_c(p["conv1"], x))
-    x = pyr_up_bicubic(x)
-    x = interpolate(x, image_size)
+    x = resize_bicubic(x, image_size)
     x = _c(p["conv2"], x)
     return x
 
 
 def seg_network_apply(params, scores, features, image_size,
                       layers=("layer5", "layer4", "layer3", "layer2"),
-                      train_bn: bool = False):
-    """Refine a coarse score map into a full-resolution mask logit.
+                      train_bn: bool = False, upsampler: str = "pyrup"):
+    """Refine coarse score map(s) into a full-resolution mask logit.
 
-    :param scores:     (N, h, w, 1) coarse discriminator scores
+    :param scores:     (N, h, w, C) coarse discriminator scores, or a LIST of
+                       such maps (the legacy stack's multi-layer scores: each
+                       is resized to the refinement layer's size and
+                       channel-concatenated, ytvos_validation/seg_network.py:106-110)
     :param features:   {layer: (N, h, w, c)} backbone pyramid
     :param image_size: (H, W) output size
     :param train_bn:   use batch statistics in the RRB BatchNorms (training);
                        returns (logits, bn_updates) where bn_updates maps
                        (rrb_name, layer) -> updated running-stat dicts
+    :param upsampler:  'pyrup' | 'bicubic' upsampling head
     :return: (N, H, W, 1) mask logits (caller applies sigmoid, as the
              reference Tracker does at model/tracker.py:203)
     """
+    score_list = scores if isinstance(scores, (list, tuple)) else [scores]
     bn_updates = {} if train_bn else None
     x = None
     for i, L in enumerate(layers):
         ft = features[L]
-        s = interpolate(scores, ft.shape[-3:-1])
+        sz = ft.shape[-3:-1]
+        s = jnp.concatenate([interpolate(ss, sz) for ss in score_list], axis=-1)
         h, hpool = _tse(params["tse"][L], ft, s)
         if x is not None:
             hpool = x
         h = _rrb(params["rrb1"][L], h, bn_updates, ("rrb1", L))
         h = _cab(params["cab"][L], hpool, h, deepest=(i == 0))
         x = _rrb(params["rrb2"][L], h, bn_updates, ("rrb2", L))
-    logits = _upsampler(params["up"], x, image_size)
+    logits = _upsampler(params["up"], x, image_size, style=upsampler)
     if train_bn:
         return logits, bn_updates
     return logits

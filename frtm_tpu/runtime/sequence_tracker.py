@@ -63,7 +63,8 @@ class BatchedSequenceTracker:
     """Whole-sequence tracking as (batched extract) + (one scan program)."""
 
     def __init__(self, cfg: TrackerConfig, backbone_params, refiner_params,
-                 extract_chunk: int = 8, merge_mode: str = "online"):
+                 extract_chunk: int = 8, merge_mode: str = "online",
+                 scan_bucket: int = 16):
         assert merge_mode in ("online", "deferred")
         self.cfg = cfg
         self.backbone = backbone_params
@@ -72,6 +73,7 @@ class BatchedSequenceTracker:
         self.arch = cfg.feature_extractor
         self.disc_cfg = cfg.disc
         self.extract_chunk = extract_chunk
+        self.scan_bucket = scan_bucket
         self.merge_mode = merge_mode
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self._disc_params0 = init_disc_params(jax.random.PRNGKey(0), cfg.disc)
@@ -290,6 +292,12 @@ class BatchedSequenceTracker:
         if not objects:
             raise ValueError("sequence has no objects")
 
+        # dispatch the batched frame extraction FIRST: it has no dependency on
+        # augmentation, so the device chews the backbone while the host runs
+        # the (single-core) cv2 augmentation pipeline
+        with timer.phase("extract"):
+            feats_all = self._extract_sequence(images_np[1:], chunks=chunks)
+
         # per-object init (augment on host once per object, GN-CG on device)
         params_list, states_list = [], []
         for obj_id, start_idx, mask, image in objects:
@@ -310,17 +318,13 @@ class BatchedSequenceTracker:
         start_frames = jnp.asarray([o[1] for o in objects], jnp.int32)
         start_masks = jnp.asarray(np.stack([o[2] for o in objects]))
         obj_ids = [o[0] for o in objects]
-
-        # batched extraction of frames 1..T-1 + per-object projection
-        with timer.phase("extract"):
-            feats_all = self._extract_sequence(images_np[1:], chunks=chunks)
         ft4 = feats_all[self.disc_cfg.layer]                 # (T-1, h, w, Cin)
         compressed_all = jnp.einsum("thwc,ncd->tnhwd", ft4,
                                     disc_params.project[:, 0, 0])
 
         # bucket the scan length so different sequence lengths share programs
         n_track = T - 1
-        bucket = -(-n_track // self.extract_chunk) * self.extract_chunk
+        bucket = -(-n_track // self.scan_bucket) * self.scan_bucket
         pad = bucket - n_track
         if pad:
             feats_all = {L: jnp.concatenate(
