@@ -45,7 +45,8 @@ def main():
     backbone = init_resnet(jax.random.PRNGKey(0), arch)
     ch = {L: c for L, c in resnet_out_channels(arch).items() if L in cfg.refnet_layers}
     refiner = init_seg_network(jax.random.PRNGKey(1), ch, use_bn=cfg.refnet_use_bn)
-    tracker = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=8)
+    tracker = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=8,
+                                     augment_backend="host")
 
     seq = make_moving_square_sequence(n_frames=n_frames, size=(480, 854),
                                       square=120, n_objects=1, seed=0)

@@ -382,6 +382,8 @@ class ImageAugmenter:
                     aug_images.append(np.asarray(wimage))
                     aug_labels.append(wlabels_np)
 
-        images = np.stack([image.astype(np.float32)] + aug_images)
-        labels = np.stack([mask.astype(np.float32)] + aug_labels)
+        # pasted images become bytes like the reference's .byte() cast
+        # (warp_filter_and_paste, augmenter.py:402); labels are exact 0/1
+        images = np.stack([image] + aug_images).astype(np.uint8)
+        labels = np.stack([mask] + aug_labels).astype(np.uint8)
         return images, labels

@@ -1,0 +1,177 @@
+"""Device-side first-frame augmentation.
+
+Same augmentation semantics as models/augmenter.py (the host path mirrors the
+reference's cv2 pipeline), but the per-spec work — background warp/blur,
+target RGBA warp/blur, alpha paste, label warp, visibility counting — runs
+batched on the TPU through the framework's XLA warp/conv ops. Only the
+host-inherent pieces stay on CPU: cv2 TELEA inpainting (once per object) and
+spec/transform generation (numpy).
+
+Why: on hosts with thin host<->device links, uploading the K augmented
+frames (+float labels) costs far more than computing them on device — here
+the uploads are the inpainted background (~1.2 MB), a bbox-cropped target
+RGBA (~0.25 MB) and the packed mask, instead of ~14 MB of results. All specs
+are evaluated in one jitted batch; the visibility verdicts come back as a
+few scalars and the host keeps the reference's first-N-good selection (the
+same distribution as the reference's random-N-of-19 crop — specs are
+exchangeable).
+
+Blur kernels of different sizes are zero-embedded into one static (kmax,
+kmax) shape (identity delta when no blur) so the whole spec batch shares one
+program."""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.warp import warp_affine
+from ..ops.conv import conv2d
+from .augmenter import ImageAugmenter, center_bbox_from_mask, _translate
+
+
+def _embed_kernel(G, kmax):
+    """Center a (k, k) kernel in a (kmax, kmax) zero canvas (delta = identity)."""
+    out = np.zeros((kmax, kmax), np.float32)
+    k = G.shape[0]
+    o = (kmax - k) // 2
+    out[o:o + k, o:o + k] = G
+    return out
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def _batch_augment(inpainted, target_crop, mask, fg_T, fg_T_full, fg_K,
+                   bg_T, bg_K, out_hw):
+    """Evaluate all specs on device.
+
+    :param inpainted:   (H, W, 3) f32 background
+    :param target_crop: (hc, wc, 4) f32 RGBA target cutout
+    :param mask:        (H, W, 1) f32 binary target mask
+    :param fg_T:        (S, 3, 3) transforms mapping CROP coords -> output
+    :param fg_T_full:   (S, 3, 3) transforms mapping FULL coords -> output
+    :param fg_K/bg_K:   (S, kmax, kmax) blur kernels (delta = no blur)
+    :param bg_T:        (S, 3, 3) background transforms (identity = skip-alike)
+    :return: images (S, H, W, 3), labels (S, H, W, 1), fg pixel counts (S,)
+    """
+    def _filter(img, K):
+        k = K[..., None, None]
+        x = jnp.moveaxis(img, -1, 0)[..., None]
+        return jnp.moveaxis(conv2d(x, k)[..., 0], 0, -1)
+
+    def one(fgT, fgTf, fgK, bgT, bgK):
+        wimage = jnp.clip(warp_affine(inpainted, bgT, out_hw, "bicubic"), 0, 255)
+        wimage = _filter(wimage, bgK)
+        tgt = jnp.clip(warp_affine(target_crop, fgT, out_hw, "bicubic"), 0, 255)
+        tgt = _filter(tgt, fgK)
+        lbl = warp_affine(mask, fgTf, out_hw, "nearest")
+        alpha = tgt[..., 3:4] / 255.0
+        out = jnp.clip(tgt[..., :3] * alpha + wimage * (1.0 - alpha), 0, 255)
+        return out, lbl, (lbl == 1).sum()
+
+    return jax.vmap(one)(fg_T, fg_T_full, fg_K, bg_T, bg_K)
+
+
+class DeviceAugmenter:
+    """Drop-in augmenter whose augment_first_frame returns device arrays."""
+
+    def __init__(self, params: dict, crop_bucket: int = 64):
+        self.host = ImageAugmenter(params, backend="cv2")
+        self.params = params
+        self.crop_bucket = crop_bucket
+        self.max_retries = self.host.max_retries
+
+    def _kernel_max(self):
+        sizes = [0.0]
+        for key in ("fg_aug_params", "bg_aug_params"):
+            if key in self.params and self.params[key]:
+                sizes += list(self.params[key].get("blur_size", [0.0]))
+        smax = max(sizes)
+        s = int(smax / 2 + 0.5)
+        s = s + (s + 1) % 2
+        return max(1, 2 * s + 1)
+
+    def augment_first_frame(self, image, mask, rng, image_dev=None):
+        """Same contract as ImageAugmenter.augment_first_frame, but the
+        returned (K, H, W, 3) images and (K, H, W, 1) labels live on device.
+
+        :param image_dev: optional pre-uploaded (H, W, 3) device copy of the
+        frame (saves re-uploading it inside the timed region)."""
+        p = self.params
+        image = np.asarray(image)
+        mask_np = np.asarray(mask).reshape(*image.shape[:2], 1).astype(np.float32)
+        H, W = image.shape[:2]
+
+        px_count = int(mask_np.sum())
+        no_background = px_count == mask_np.size
+        if px_count < p["min_px_count"]:
+            raise ValueError("Augmentation failed: Target object is too small.")
+        tg_bbox = center_bbox_from_mask(mask_np)
+        if tg_bbox[2] == 0 or tg_bbox[3] == 0:
+            raise ValueError("Augmentation failed: No object to augment.")
+
+        target, inpainted = self.host.cut_and_inpaint(image, mask_np, d=1, f=1)
+
+        # bbox-crop the target (bucketed so crop shapes share programs)
+        cx, cy, bw, bh = tg_bbox
+        x0 = max(0, int(cx - bw / 2) - 2)
+        y0 = max(0, int(cy - bh / 2) - 2)
+        cw = min(W - x0, -(-int(bw + 4) // self.crop_bucket) * self.crop_bucket)
+        chh = min(H - y0, -(-int(bh + 4) // self.crop_bucket) * self.crop_bucket)
+        target_crop = np.ascontiguousarray(target[y0:y0 + chh, x0:x0 + cw])
+
+        kmax = self._kernel_max()
+        fg_sel = dict(p["fg_aug_params"])
+        fg_sel["location"] = self.host.generate_target_locations(p["num_aug"], (H, W), rng)
+        bg_sel = p.get("bg_aug_params")
+
+        # device-resident inputs (tiny uploads)
+        inp_dev = jnp.asarray(inpainted, jnp.float32)
+        tgt_dev = jnp.asarray(target_crop)
+        msk_dev = jnp.asarray(mask_np)
+        img_dev = (image_dev if image_dev is not None
+                   else jnp.asarray(image)).astype(jnp.float32)
+
+        N = p["num_aug"] - 1
+        min_px = p["min_px_count"]
+        max_px = H * W - min_px
+        chosen_img, chosen_lbl = [], []
+        retries = -1
+        while len(chosen_img) < N:
+            retries += 1
+            if retries > self.max_retries:
+                raise RuntimeError(
+                    "Augmentation failed: Not enough samples after %d retries."
+                    % self.max_retries)
+            fg_specs = self.host.generate_specs(fg_sel, rng)
+            bg_specs = (self.host.generate_specs(bg_sel, rng) if bg_sel is not None
+                        else [None] * len(fg_specs))
+
+            fg_T, fg_Tf, fg_K, bg_T, bg_K = [], [], [], [], []
+            for fg_spec, bg_spec in zip(fg_specs, bg_specs):
+                T, G = self.host.get_transform(fg_spec, tg_bbox, (H, W))
+                fg_Tf.append(T)
+                fg_T.append(T @ _translate(x0, y0))
+                fg_K.append(_embed_kernel(G, kmax))
+                if bg_spec is not None:
+                    Tb, Gb = self.host.get_transform(
+                        bg_spec, (W / 2, H / 2, W, H), (H, W), limit_scale=False)
+                else:
+                    Tb, Gb = np.eye(3), np.array([[1.0]], np.float32)
+                bg_T.append(Tb)
+                bg_K.append(_embed_kernel(Gb, kmax))
+
+            imgs, lbls, counts = _batch_augment(
+                inp_dev, tgt_dev, msk_dev,
+                jnp.asarray(np.stack(fg_T)), jnp.asarray(np.stack(fg_Tf)),
+                jnp.asarray(np.stack(fg_K)), jnp.asarray(np.stack(bg_T)),
+                jnp.asarray(np.stack(bg_K)), out_hw=(H, W))
+            counts = np.asarray(counts)  # a few scalars back to host
+            good = (counts >= min_px) & ((counts < max_px) | no_background)
+            for i in np.flatnonzero(good):
+                if len(chosen_img) < N:
+                    chosen_img.append(imgs[i])
+                    chosen_lbl.append(lbls[i])
+
+        images_out = jnp.stack([img_dev] + chosen_img)
+        labels_out = jnp.stack([msk_dev] + chosen_lbl)
+        return images_out, labels_out

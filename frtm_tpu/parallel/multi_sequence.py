@@ -39,7 +39,7 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         self.n_devices = n_dev
 
         self._raw_vscan = jax.vmap(self._make_scan(),
-                                   in_axes=(None, 0, 0, 0, 0, 0, 0, 0, None))
+                                   in_axes=(None, 0, 0, 0, 0, 0, 0, None))
         self._seq_sh = NamedSharding(mesh, P("data"))
         self._repl = NamedSharding(mesh, P())
         self._vscan_cache = {}
@@ -51,12 +51,12 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         if im_size not in self._vscan_cache:
             raw = self._raw_vscan
 
-            def fn(refiner, feats, comp, dp, ds, sf, sm, lut):
-                return raw(refiner, feats, comp, dp, ds, sf, sm, lut, im_size)
+            def fn(refiner, feats, dp, ds, sf, sm, lut):
+                return raw(refiner, feats, dp, ds, sf, sm, lut, im_size)
 
             self._vscan_cache[im_size] = jax.jit(
                 fn,
-                in_shardings=(self._repl,) + (self._seq_sh,) * 7,
+                in_shardings=(self._repl,) + (self._seq_sh,) * 6,
                 out_shardings=self._seq_sh,
             )
         return self._vscan_cache[im_size]
@@ -108,24 +108,18 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         B = len(seq_preps)
         Bp = -(-B // self.n_devices) * self.n_devices  # pad to mesh multiple
 
-        feats_b, comp_b, dp_b, ds_b, sf_b, sm_b, lut_b = [], [], [], [], [], [], []
+        feats_b, dp_b, ds_b, sf_b, sm_b, lut_b = [], [], [], [], [], []
         for i in range(Bp):
             sequence, prep = seq_preps[min(i, B - 1)]
             feats_all = self._extract_sequence(prep["images"][1:])
             disc_params = jax.tree.map(lambda *x: jnp.stack(x), *prep["params"])
             disc_states = jax.tree.map(lambda *x: jnp.stack(x), *prep["states"])
-            ft4 = feats_all[self.disc_cfg.layer]
-            compressed = jnp.einsum("thwc,ncd->tnhwd", ft4,
-                                    disc_params.project[:, 0, 0])
             pad = bucket_T - prep["n_track"]
             if pad:
                 feats_all = {L: jnp.concatenate(
                     [v, jnp.repeat(v[-1:], pad, axis=0)])
                     for L, v in feats_all.items()}
-                compressed = jnp.concatenate(
-                    [compressed, jnp.repeat(compressed[-1:], pad, axis=0)])
             feats_b.append(feats_all)
-            comp_b.append(compressed)
             dp_b.append(disc_params)
             ds_b.append(disc_states)
             sf_b.append(np.asarray([o[1] for o in prep["objects"]], np.int32))
@@ -134,7 +128,7 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
 
         stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
         outs, _, _ = self._get_vscan(im_size)(
-            self.refiner, stack(feats_b), stack(comp_b), stack(dp_b),
+            self.refiner, stack(feats_b), stack(dp_b),
             stack(ds_b), jnp.asarray(np.stack(sf_b)),
             jnp.asarray(np.stack(sm_b)), jnp.asarray(np.stack(lut_b)))
         outs = jax.device_get(outs)

@@ -64,12 +64,17 @@ class BatchedSequenceTracker:
 
     def __init__(self, cfg: TrackerConfig, backbone_params, refiner_params,
                  extract_chunk: int = 8, merge_mode: str = "online",
-                 scan_bucket: int = 16):
+                 scan_bucket: int = 16, augment_backend: str = "host"):
         assert merge_mode in ("online", "deferred")
         self.cfg = cfg
         self.backbone = backbone_params
         self.refiner = refiner_params
-        self.augmenter = ImageAugmenter(cfg.aug_params)
+        self.augment_backend = augment_backend
+        if augment_backend == "device":
+            from ..models.device_augmenter import DeviceAugmenter
+            self.augmenter = DeviceAugmenter(cfg.aug_params)
+        else:
+            self.augmenter = ImageAugmenter(cfg.aug_params)
         self.arch = cfg.feature_extractor
         self.disc_cfg = cfg.disc
         self.extract_chunk = extract_chunk
@@ -111,10 +116,9 @@ class BatchedSequenceTracker:
         dtype = self.dtype  # decoder compute dtype (bf16 on TPU); the
         # discriminator solve and mask aggregation stay float32
 
-        def scan_track(refiner, feats_all, compressed_all, disc_params, disc_states,
+        def scan_track(refiner, feats_all, disc_params, disc_states,
                        start_frames, start_masks, obj_ids_lut, im_size):
             """:param feats_all:      {L: (T', h, w, c)} frames 1..T'
-            :param compressed_all: (T', N, h4, w4, c) projected disc features
             :param disc_params:    DiscParams batched over N
             :param disc_states:    DiscState batched over N
             :param start_frames:   (N,) int32 per-object start frame indices
@@ -122,10 +126,15 @@ class BatchedSequenceTracker:
             :param obj_ids_lut:    (N+1,) int32 labels LUT
             :return: per-frame outputs (labels or raw soft rows), final state
             """
-            N = compressed_all.shape[1]
+            N = disc_params.project.shape[0]
             refiner_c = jax.tree.map(
                 lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating)
                 else a, refiner)
+            # per-object projection of all frames (fixed after init) — inside
+            # the program so it fuses with the scan's input pipeline
+            compressed_all = jnp.einsum(
+                "thwc,ncd->tnhwd", feats_all[disc_cfg.layer].astype(jnp.float32),
+                disc_params.project[:, 0, 0])
 
             def frame_step(carry, xs):
                 params, states, t = carry
@@ -273,9 +282,11 @@ class BatchedSequenceTracker:
         from ..utils.profiling import PhaseTimer
         timer = PhaseTimer(sync=False)
         chunks = self._upload_chunks(images_np[1:])  # preload, like the reference
-        jax.block_until_ready([c for c, _ in chunks])  # preload COMPLETES before
-        # the clock starts (reference: sequence.preload(device) precedes the
-        # timed loop, model/tracker.py:88-91,130)
+        self._frame0_dev = jax.device_put(images_np[0])
+        jax.block_until_ready([self._frame0_dev] + [c for c, _ in chunks])
+        # preload COMPLETES before the clock starts (reference:
+        # sequence.preload(device) precedes the timed loop,
+        # model/tracker.py:88-91,130)
         t0 = time.time()
         outputs = self._run(images_np, sequence, timer=timer, chunks=chunks)
         jax.block_until_ready(outputs[-1])
@@ -292,36 +303,43 @@ class BatchedSequenceTracker:
         if not objects:
             raise ValueError("sequence has no objects")
 
-        # dispatch the batched frame extraction FIRST: it has no dependency on
-        # augmentation, so the device chews the backbone while the host runs
-        # the (single-core) cv2 augmentation pipeline
-        with timer.phase("extract"):
-            feats_all = self._extract_sequence(images_np[1:], chunks=chunks)
-
-        # per-object init (augment on host once per object, GN-CG on device)
+        # per-object init (augment once per object, GN-CG on device); the
+        # device augmenter consumes the pre-uploaded frame and returns device
+        # arrays — no augmented-batch upload inside the timed region
         params_list, states_list = [], []
         for obj_id, start_idx, mask, image in objects:
             rng = np.random.RandomState(0)
             with timer.phase("augment"):
-                im_aug, lb_aug = self.augmenter.augment_first_frame(
-                    image, mask[..., None], rng)
+                if self.augment_backend == "device":
+                    im_aug, lb_aug = self.augmenter.augment_first_frame(
+                        image, mask[..., None], rng,
+                        image_dev=self._frame_dev(start_idx, images_np, chunks))
+                else:
+                    im_aug, lb_aug = self.augmenter.augment_first_frame(
+                        image, mask[..., None], rng)
             with timer.phase("disc_init"):
-                ft = self._extract_disc_layer(
-                    self.backbone, jnp.asarray(im_aug.astype(np.uint8)))
+                if isinstance(im_aug, jnp.ndarray):
+                    ft_in, lb_in = im_aug, lb_aug
+                else:
+                    ft_in = jnp.asarray(im_aug.astype(np.uint8))
+                    lb_in = jnp.asarray(lb_aug.astype(np.uint8))
+                ft = self._extract_disc_layer(self.backbone, ft_in)
                 p, s = self._init_disc(self._disc_params0,
-                                       ft[self.disc_cfg.layer],
-                                       jnp.asarray(lb_aug))
+                                       ft[self.disc_cfg.layer], lb_in)
             params_list.append(p)
             states_list.append(s)
+
+        # batched frame extraction dispatched after the host-side augment:
+        # on a single-core host, device dispatch threads contend with cv2,
+        # so overlapping them costs more host time than it hides device time
+        with timer.phase("extract"):
+            feats_all = self._extract_sequence(images_np[1:], chunks=chunks)
+
         disc_params = jax.tree.map(lambda *x: jnp.stack(x), *params_list)
         disc_states = jax.tree.map(lambda *x: jnp.stack(x), *states_list)
         start_frames = jnp.asarray([o[1] for o in objects], jnp.int32)
         start_masks = jnp.asarray(np.stack([o[2] for o in objects]))
         obj_ids = [o[0] for o in objects]
-        ft4 = feats_all[self.disc_cfg.layer]                 # (T-1, h, w, Cin)
-        compressed_all = jnp.einsum("thwc,ncd->tnhwd", ft4,
-                                    disc_params.project[:, 0, 0])
-
         # bucket the scan length so different sequence lengths share programs
         n_track = T - 1
         bucket = -(-n_track // self.scan_bucket) * self.scan_bucket
@@ -329,13 +347,11 @@ class BatchedSequenceTracker:
         if pad:
             feats_all = {L: jnp.concatenate(
                 [v, jnp.repeat(v[-1:], pad, axis=0)]) for L, v in feats_all.items()}
-            compressed_all = jnp.concatenate(
-                [compressed_all, jnp.repeat(compressed_all[-1:], pad, axis=0)])
 
         lut = jnp.asarray([0] + obj_ids, jnp.int32)
         with timer.phase("scan"):
             outs, _, _ = self._scan_track(
-                self.refiner, feats_all, compressed_all, disc_params, disc_states,
+                self.refiner, feats_all, disc_params, disc_states,
                 start_frames, start_masks, lut, im_size=im_size)
             outs.block_until_ready()
 
@@ -353,6 +369,17 @@ class BatchedSequenceTracker:
             labels = self._merge_volume(fg, lut)
             labels.block_until_ready()
         return [labels[t] for t in range(T)]
+
+    def _frame_dev(self, t, images_np, chunks):
+        """Device copy of frame t from the preloaded buffers (None -> let the
+        augmenter upload it itself)."""
+        if t == 0:
+            return getattr(self, "_frame0_dev", None)
+        if chunks is None:
+            return None
+        C = self.extract_chunk
+        chunk, _ = chunks[(t - 1) // C]
+        return chunk[(t - 1) % C]
 
     def _frame0_label(self, objects, im_size):
         lb = np.zeros(im_size, np.uint8)
