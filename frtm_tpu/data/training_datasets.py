@@ -235,9 +235,11 @@ class SyntheticTrainingDataset:
         from .synthetic import make_moving_square_sequence
         self.samples = []
         for i in range(n_samples):
+            # the seed is part of the name: the target-model cache is keyed by
+            # sequence name, and differently-seeded scenes are different data
             seq = make_moving_square_sequence(n_frames=sample_size, size=size,
                                               square=28, seed=seed + i,
-                                              name=f"synth{i:04d}")
+                                              name=f"synth{seed + i:06d}")
             self.samples.append(seq)
         self.sample_size = sample_size
 

@@ -275,8 +275,18 @@ class Trainer:
             specs = SampleSpec.from_encoded([s[2] for s in samples])
             yield images.astype(np.float32), labels.astype(np.float32), specs
 
+    def _tb_writer(self):
+        """Optional TensorBoard writer (the reference logs per-epoch scalars
+        via SummaryWriter, lib/training.py:104-110); JSONL is the primary log."""
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            return SummaryWriter(str(self.log_path))
+        except Exception:
+            return None
+
     def train(self):
         log_file = open(self.log_path / "stats.jsonl", "a")
+        tb = self._tb_writer()
         for epoch in range(self.epoch + 1, self.max_epochs + 1):
             self.epoch = epoch
             self.stats = defaultdict(AverageMeter)
@@ -316,6 +326,11 @@ class Trainer:
             print(_json.dumps({"epoch": self.epoch,
                                **{k: m.avg for k, m in self.stats.items()}}),
                   file=log_file, flush=True)
+            if tb is not None:
+                for k, m in self.stats.items():
+                    tb.add_scalar(k, m.avg, self.epoch)
+        if tb is not None:
+            tb.close()
         log_file.close()
         print("%s done" % self.name)
 

@@ -63,9 +63,10 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         model = TrainerModel(train_cfg, backbone, refiner,
                              TModelCache(Path(tmp) / "cache"))
+        # fixed pool of scenes across epochs (the tmodel cache is then valid,
+        # as with real datasets where sequences are fixed and frames resample)
         dset = lambda: SyntheticTrainingDataset(
-            n_samples=args.train_samples, size=size, sample_size=3,
-            seed=np.random.randint(10_000))
+            n_samples=args.train_samples, size=size, sample_size=3, seed=0)
         trainer = Trainer("synth", model, [dset], Path(tmp) / "ckpt",
                           Path(tmp) / "log", max_epochs=args.epochs,
                           batch_size=args.batch_size, lr=1e-3,
