@@ -118,17 +118,29 @@ def _run_cg(A, b, state: CGState, n_iter: int, M1, direction_forget_factor,
 
 def gauss_newton_cg(residual_fn, theta, state: CGState, num_cg_iter: Sequence[int],
                     M1, direction_forget_factor: float,
-                    fletcher_reeves: bool = False):
+                    fletcher_reeves: bool = False, collect_losses: bool = False):
     """Run len(num_cg_iter) Gauss-Newton iterations, each with the given CG
     step count (the reference's GaussNewtonCG.run with a tuple schedule).
 
     :param residual_fn: theta-pytree -> residual pytree (pure)
     :param M1:          preconditioner: theta-like pytree -> theta-like pytree
-    :return: (theta, CGState) after the schedule
+    :param collect_losses: also return per-GN-iteration squared residual norms
+        (the legacy stack's convergence instrumentation,
+        ytvos_validation/optimizer.py:194-274 external losses)
+    :return: (theta, CGState[, losses (len(num_cg_iter)+1,)]) after the schedule
     """
+    losses = []
+
+    def _loss(th):
+        r = residual_fn(th)
+        return jnp.sum(jnp.stack([jnp.vdot(x, x) for x in jax.tree.leaves(r)]))
+
     for n_cg in num_cg_iter:
         f0, jvp_fn = jax.linearize(residual_fn, theta)
         vjp_fn = jax.linear_transpose(jvp_fn, theta)
+        if collect_losses:
+            losses.append(jnp.sum(jnp.stack(
+                [jnp.vdot(x, x) for x in jax.tree.leaves(f0)])))
 
         def A(p, vjp_fn=vjp_fn, jvp_fn=jvp_fn):
             return vjp_fn(jvp_fn(p))[0]
@@ -138,6 +150,9 @@ def gauss_newton_cg(residual_fn, theta, state: CGState, num_cg_iter: Sequence[in
                             fletcher_reeves)
         theta = _axpy(state.step_alpha, dx, theta)
         state = state._replace(step_alpha=jnp.minimum(state.step_alpha * 1.2, 1.0))
+    if collect_losses:
+        losses.append(_loss(theta))
+        return theta, state, jnp.stack(losses)
     return theta, state
 
 

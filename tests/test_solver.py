@@ -148,3 +148,15 @@ def test_tree_vdot_global_scalar():
     a = (jnp.ones((2, 2)), jnp.ones((3,)))
     b = (2 * jnp.ones((2, 2)), 3 * jnp.ones((3,)))
     assert float(tree_vdot(a, b)) == 2 * 4 + 3 * 3
+
+
+def test_collect_losses_monotone(rng):
+    """Legacy-style convergence instrumentation: losses per GN iteration."""
+    residual_fn, J, y, A = _linear_problem(rng)
+    theta = (jnp.zeros((J.shape[1],), jnp.float32),)
+    M1 = scalar_preconditioner((jnp.asarray(1.0),))
+    theta, st, losses = gauss_newton_cg(residual_fn, theta, init_cg_state(theta),
+                                        (5, 5), M1, 0.0, collect_losses=True)
+    losses = np.asarray(losses)
+    assert losses.shape == (3,)
+    assert losses[1] < losses[0] and losses[2] <= losses[1] * 1.001
