@@ -16,7 +16,6 @@ Prints ONE JSON line:
 (baseline: the paper's ~21.9 FPS for FRTM rn101 on a V100, BASELINE.md)."""
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -30,14 +29,15 @@ def main():
     # slow (~90s/program); later runs hit this cache
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from dataclasses import replace
     from frtm_tpu.config import eval_config
     from frtm_tpu.models import init_resnet, init_seg_network, resnet_out_channels
     from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
     from frtm_tpu.data.synthetic import make_moving_square_sequence
 
     arch = "resnet101"
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 17
+    # DAVIS 2017 val sequences average ~67 frames; the per-object init cost
+    # amortizes over the sequence exactly as in the reference protocol
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 65
     platform = jax.devices()[0].platform
 
     cfg = eval_config(arch, fast=False,

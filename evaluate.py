@@ -47,7 +47,7 @@ def main():
             pass
 
     from frtm_tpu.config import eval_config
-    from frtm_tpu.models import init_resnet, init_seg_network, resnet_out_channels
+    from frtm_tpu.models import init_resnet
     from frtm_tpu.runtime.tracker import Tracker
     from frtm_tpu.data.datasets import DAVISDataset, YouTubeVOSDataset
     from frtm_tpu.eval.evaluation import evaluate_dataset

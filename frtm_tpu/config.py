@@ -4,8 +4,8 @@
 checkpoint shapes (evaluate.py:36-44) and the reference's `--fast` iteration
 schedule (which the reference CLI defines but never wires through — we wire it,
 see SURVEY.md §3.1 note)."""
-from dataclasses import dataclass, field, replace
-from typing import Optional, Tuple
+from dataclasses import dataclass, field
+from typing import Tuple
 
 from .models.discriminator import DiscConfig
 

@@ -8,7 +8,6 @@ import numpy as np
 
 from ..data.image import imread
 from ..utils.meters import text_bargraph
-from . import davis as measures_mod
 from .davis import evaluate_sequence, mean, nanmean
 
 

@@ -18,12 +18,10 @@ framework's XLA warp/conv ops (jit-cached per image size).
 Randomness comes from an explicit numpy RandomState; the tracker reseeds it
 to 0 per object like the reference's determinism hack (model/tracker.py:178-180).
 """
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 import numpy as np
 import cv2
-import jax
 import jax.numpy as jnp
 
 from ..ops.warp import warp_affine

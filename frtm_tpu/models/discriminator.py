@@ -16,8 +16,8 @@ axis vmaps (all objects share shapes), and the update schedule is a lax.cond
 in the tracker's frame scan. Residuals keep all memory rows at static shape —
 zero-weight rows contribute nothing (see models/solver.py docstring).
 """
-from dataclasses import dataclass, field
-from typing import Any, NamedTuple, Tuple
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

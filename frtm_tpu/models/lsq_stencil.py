@@ -24,7 +24,6 @@ column-stage matmuls per sample — MXU work streamed over one read of w^2.
 from functools import lru_cache
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..ops.resize import _linear_matrix

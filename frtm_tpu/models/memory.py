@@ -13,7 +13,6 @@ a NamedTuple pytree so it rides in `lax.scan` carries and vmaps over objects.
 """
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .discriminator import (
-    DiscConfig, DiscParams, DiscState, init_disc_params,
+    DiscConfig, DiscParams, init_disc_params,
     disc_init, disc_apply, disc_update,
 )
 

@@ -17,13 +17,11 @@ per-frame state, so whole sequences are stacked on the batch axis to fill the
 MXU (the reference processes one frame at a time; batching is our headline
 throughput lever, SURVEY.md §7).
 """
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv import conv2d, max_pool_3x3_s2, max_pool_3x3_s2 as _mp, batch_norm, relu
+from ..ops.conv import conv2d, max_pool_3x3_s2, batch_norm, relu
 
 # (block_type, stage_depths, stage_width_mult)
 RESNET_SPECS = {

@@ -7,7 +7,6 @@ TPU-first choices:
     semantics exactly — XLA 'SAME' pads asymmetrically for stride>1 which would
     break parity with the reference backbones.
 """
-import jax
 import jax.numpy as jnp
 from jax import lax
 

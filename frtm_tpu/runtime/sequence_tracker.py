@@ -28,8 +28,6 @@ Two merge modes:
     reproduces the published 72% YTVOS configuration).
 """
 import time
-from functools import partial
-from typing import Optional
 
 import numpy as np
 import jax
@@ -40,8 +38,7 @@ from ..config import TrackerConfig
 from ..models.resnet import extract_features
 from ..models.seg_network import seg_network_apply
 from ..models.discriminator import (
-    disc_init, disc_apply, filter_resolve, init_disc_params,
-    online_update_weights, DiscParams, DiscState,
+    disc_init, filter_resolve, init_disc_params, online_update_weights,
 )
 from ..models.memory import memory_update
 from ..models.augmenter import ImageAugmenter

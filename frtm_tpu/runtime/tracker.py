@@ -17,7 +17,7 @@ per (image size, object count), so a dataset pass compiles a handful of
 programs and then runs entirely on-device per frame. Cross-sequence batching
 lives in parallel/ (sequence-level data parallelism)."""
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Dict, Optional
 
@@ -26,10 +26,10 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TrackerConfig
-from ..models.resnet import extract_features, resnet_out_channels
+from ..models.resnet import extract_features
 from ..models.seg_network import seg_network_apply
 from ..models.discriminator import (
-    DiscConfig, DiscParams, DiscState, init_disc_params,
+    DiscParams, DiscState, init_disc_params,
     disc_init, disc_apply, disc_update,
 )
 from ..models.augmenter import ImageAugmenter

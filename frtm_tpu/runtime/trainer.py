@@ -18,7 +18,6 @@ The batch axis shards over a data-parallel mesh in parallel/ (pjit inserts
 the gradient all-reduce when params are replicated)."""
 import time
 from collections import defaultdict
-from functools import partial
 from pathlib import Path
 
 import numpy as np

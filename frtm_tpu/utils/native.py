@@ -5,7 +5,6 @@ Auto-builds the .so on first use (mirroring the reference's JIT-compiled
 extension at lib/_npp/__init__.py:16, but with a cached shared object) and
 degrades gracefully — callers fall back to cv2/PIL when unavailable."""
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

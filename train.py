@@ -41,7 +41,6 @@ def main():
     if args.dev == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    from dataclasses import replace
     from frtm_tpu.config import TrackerConfig, train_aug_params
     from frtm_tpu.models import init_resnet, init_seg_network, resnet_out_channels
     from frtm_tpu.models.discriminator import DiscConfig
