@@ -293,9 +293,8 @@ def disc_update(params: DiscParams, state: DiscState, compressed_sample, train_y
     enough_fg = (train_y > 0.5).sum() >= 10
 
     label, pw = online_update_weights(train_y, cfg)
-    new_mem = memory_update(state.memory, compressed_sample, label, pw,
-                            cfg.learning_rate)
-    memory = jax.tree.map(lambda a, b: jnp.where(enough_fg, a, b), new_mem, state.memory)
+    memory = memory_update(state.memory, compressed_sample, label, pw,
+                           cfg.learning_rate, enabled=enough_fg)
     state = state._replace(memory=memory, frame_num=frame_num)
 
     do_train = enough_fg & (frame_num % cfg.train_skipping == 0)

@@ -43,9 +43,14 @@ def memory_init(capacity: int, features, labels, pixel_weights) -> MemoryState:
 
 
 def memory_update(state: MemoryState, feature, label, pixel_weight,
-                  learning_rate: float) -> MemoryState:
+                  learning_rate: float, enabled=None) -> MemoryState:
     """Insert one sample: replace the min-weight slot, decay/renormalise
-    weights (reference memory.py:59-92). Pure function of the state."""
+    weights (reference memory.py:59-92). Pure function of the state.
+
+    :param enabled: optional bool scalar — when False the state is returned
+    unchanged. The gating happens at the inserted ROW (and the tiny weight
+    vector), not by selecting whole buffers, so a skipped frame costs no
+    HBM traffic over the sample/label stores."""
     sw = state.weights
     lr = learning_rate
 
@@ -62,11 +67,25 @@ def memory_update(state: MemoryState, feature, label, pixel_weight,
 
     sw_new = sw_new / sw_new.sum()
 
+    if enabled is None:
+        row_feature, row_label, row_pw = feature, label.astype(jnp.float32), pixel_weight
+        new_size = jnp.minimum(state.current_size + 1, state.samples.shape[0])
+        new_prev = r_ind
+    else:
+        row_feature = jnp.where(enabled, feature, state.samples[r_ind])
+        row_label = jnp.where(enabled, label.astype(jnp.float32), state.labels[r_ind])
+        row_pw = jnp.where(enabled, pixel_weight, state.pixel_weights[r_ind])
+        sw_new = jnp.where(enabled, sw_new, sw)
+        new_size = jnp.where(enabled,
+                             jnp.minimum(state.current_size + 1, state.samples.shape[0]),
+                             state.current_size)
+        new_prev = jnp.where(enabled, r_ind, state.prev_ind)
+
     return MemoryState(
-        samples=state.samples.at[r_ind].set(feature),
-        labels=state.labels.at[r_ind].set(label.astype(jnp.float32)),
-        pixel_weights=state.pixel_weights.at[r_ind].set(pixel_weight),
+        samples=state.samples.at[r_ind].set(row_feature),
+        labels=state.labels.at[r_ind].set(row_label),
+        pixel_weights=state.pixel_weights.at[r_ind].set(row_pw),
         weights=sw_new,
-        current_size=jnp.minimum(state.current_size + 1, state.samples.shape[0]).astype(jnp.int32),
-        prev_ind=r_ind,
+        current_size=new_size.astype(jnp.int32),
+        prev_ind=new_prev.astype(jnp.int32),
     )

@@ -181,13 +181,12 @@ class BatchedSequenceTracker:
 
                 # frame counter advances for every tracked frame (the
                 # reference increments in apply regardless of mask quality);
-                # the memory insert itself is gated on enough foreground
+                # the memory insert is row-gated on enough foreground (no
+                # whole-buffer selects in the scan carry)
                 def insert2(state, c, ty, e, act):
                     label, pw = online_update_weights(ty, disc_cfg)
-                    new_mem = memory_update(state.memory, c, label, pw,
-                                            disc_cfg.learning_rate)
-                    mem = jax.tree.map(lambda a, b: jnp.where(e, a, b),
-                                       new_mem, state.memory)
+                    mem = memory_update(state.memory, c, label, pw,
+                                        disc_cfg.learning_rate, enabled=e)
                     return state._replace(
                         memory=mem,
                         frame_num=state.frame_num + act.astype(jnp.int32))
@@ -201,18 +200,20 @@ class BatchedSequenceTracker:
                     & enough
 
                 def resolve(args):
-                    params, states = args
+                    params, cg = args
                     new_p, new_cg = jax.vmap(
-                        lambda p, s: filter_resolve(p, s, disc_cfg))(params, states)
+                        lambda p, s: filter_resolve(p, s, disc_cfg))(
+                        params, states)
                     sel = lambda a, b: jnp.where(
                         due.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
-                    params = jax.tree.map(sel, new_p, params)
-                    new_states = states._replace(cg=new_cg)
-                    states = jax.tree.map(sel, new_states, states)
-                    return params, states
+                    # only filter params and CG state change — the memory
+                    # buffers stay out of the select (no 100MB-scale copies)
+                    return jax.tree.map(sel, new_p, params), \
+                        jax.tree.map(sel, new_cg, cg)
 
-                params, states = lax.cond(jnp.any(due), resolve, lambda a: a,
-                                          (params, states))
+                params, cg = lax.cond(jnp.any(due), resolve, lambda a: a,
+                                      (params, states.cg))
+                states = states._replace(cg=cg)
                 return (params, states, t), out
 
             (params, states, _), outs = lax.scan(
