@@ -37,6 +37,11 @@ def main():
                     choices=["float32", "bfloat16"], help="backbone/refiner compute dtype")
     ap.add_argument("--restart", type=str, default=None,
                     help="sequence name to restart from (debugging)")
+    ap.add_argument("--engine", type=str, default="fused",
+                    choices=["fused", "host", "sharded"],
+                    help="fused = one-scan-program fast path; host = frame-at-"
+                         "a-time reference-semantics loop; sharded = batch "
+                         "sequences across all devices")
     args = ap.parse_args()
 
     import jax
@@ -87,9 +92,47 @@ def main():
     out_path = Path(args.output).expanduser().resolve() / ex_name
     out_path.mkdir(exist_ok=True, parents=True)
 
-    tracker = Tracker(cfg, backbone, refiner)
-    tracker.run_dataset(dset, out_path, speedrun=args.dset == "dv2016val",
-                        restart=args.restart)
+    if args.engine == "host":
+        tracker = Tracker(cfg, backbone, refiner)
+        tracker.run_dataset(dset, out_path, speedrun=args.dset == "dv2016val",
+                            restart=args.restart)
+    elif args.engine == "sharded":
+        from frtm_tpu.parallel import make_mesh, ShardedSequenceTracker
+        from frtm_tpu.data.image import imwrite_indexed
+        mesh = make_mesh()
+        tracker = ShardedSequenceTracker(cfg, backbone, refiner, mesh)
+        seqs = list(dset)
+        for seq in seqs:
+            seq.preload()
+        results = tracker.run_sequences(seqs)
+        for seq in seqs:
+            dst = out_path / seq.name
+            dst.mkdir(exist_ok=True)
+            for lb, f in zip(results[seq.name], seq.frame_names):
+                imwrite_indexed(dst / (f + ".png"), lb)
+    else:  # fused (default)
+        from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
+        from frtm_tpu.data.image import imwrite_indexed
+        from frtm_tpu.utils.meters import AverageMeter
+        tracker = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=16)
+        fps_meter = AverageMeter()
+        restarted = args.restart is None
+        print("Evaluating", dset.name)
+        for sequence in dset:
+            if not restarted:
+                if sequence.name != args.restart:
+                    continue
+                restarted = True
+            sequence.preload()
+            outputs, seq_fps = tracker.run_sequence(
+                sequence, speedrun=args.dset == "dv2016val")
+            fps_meter.update(seq_fps)
+            print(f"{sequence.name}: {seq_fps:.2f} fps")
+            dst = out_path / sequence.name
+            dst.mkdir(exist_ok=True)
+            for lb, f in zip(outputs, sequence.frame_names):
+                imwrite_indexed(dst / (f + ".png"), lb)
+        print("Average frame rate: %.2f fps" % fps_meter.avg)
 
     dset.all_annotations = True
     print("\nComputing J-scores")
