@@ -112,27 +112,9 @@ def main():
                 imwrite_indexed(dst / (f + ".png"), lb)
     else:  # fused (default)
         from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
-        from frtm_tpu.data.image import imwrite_indexed
-        from frtm_tpu.utils.meters import AverageMeter
         tracker = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=16)
-        fps_meter = AverageMeter()
-        restarted = args.restart is None
-        print("Evaluating", dset.name)
-        for sequence in dset:
-            if not restarted:
-                if sequence.name != args.restart:
-                    continue
-                restarted = True
-            sequence.preload()
-            outputs, seq_fps = tracker.run_sequence(
-                sequence, speedrun=args.dset == "dv2016val")
-            fps_meter.update(seq_fps)
-            print(f"{sequence.name}: {seq_fps:.2f} fps")
-            dst = out_path / sequence.name
-            dst.mkdir(exist_ok=True)
-            for lb, f in zip(outputs, sequence.frame_names):
-                imwrite_indexed(dst / (f + ".png"), lb)
-        print("Average frame rate: %.2f fps" % fps_meter.avg)
+        tracker.run_dataset(dset, out_path, speedrun=args.dset == "dv2016val",
+                            restart=args.restart)
 
     dset.all_annotations = True
     print("\nComputing J-scores")

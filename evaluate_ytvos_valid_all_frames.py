@@ -38,9 +38,7 @@ def main():
     from frtm_tpu.models import init_resnet
     from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
     from frtm_tpu.data.datasets import YouTubeVOSDataset
-    from frtm_tpu.data.image import imwrite_indexed
     from frtm_tpu.utils import checkpoints as ckpt
-    from frtm_tpu.utils.meters import AverageMeter
 
     model_path = Path(args.model)
     if not model_path.exists():
@@ -80,18 +78,7 @@ def main():
                              split="valid_all_frames", sequences=args.sequences)
     out_root = Path(args.output).expanduser().resolve() / "ytvos2018valid_all_frames" \
         / "Annotations"
-    out_root.mkdir(parents=True, exist_ok=True)
-
-    fps_meter = AverageMeter()
-    for sequence in dset:
-        outputs, fps = tracker.run_sequence(sequence)
-        fps_meter.update(fps)
-        print(f"{sequence.name}: {fps:.2f} fps")
-        dst = out_root / sequence.name
-        dst.mkdir(exist_ok=True)
-        for lb, f in zip(outputs, sequence.frame_names):
-            imwrite_indexed(dst / (f + ".png"), lb)
-    print("Average frame rate: %.2f fps" % fps_meter.avg)
+    tracker.run_dataset(dset, out_root)
 
 
 if __name__ == "__main__":

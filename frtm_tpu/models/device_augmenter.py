@@ -65,7 +65,10 @@ def _batch_augment(inpainted, target_crop, mask, fg_T, fg_T_full, fg_K,
         tgt = _filter(tgt, fgK)
         lbl = warp_affine(mask, fgTf, out_hw, "nearest")
         alpha = tgt[..., 3:4] / 255.0
-        out = jnp.clip(tgt[..., :3] * alpha + wimage * (1.0 - alpha), 0, 255)
+        # floor = the host path's uint8 truncation (the reference's .byte()
+        # cast, model/augmenter.py:402) so both backends quantize identically
+        out = jnp.floor(jnp.clip(tgt[..., :3] * alpha + wimage * (1.0 - alpha),
+                                 0, 255))
         return out, lbl, (lbl == 1).sum()
 
     return jax.vmap(one)(fg_T, fg_T_full, fg_K, bg_T, bg_K)

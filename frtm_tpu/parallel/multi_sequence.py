@@ -98,10 +98,13 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
 
         n_track = T - 1
         bucket_T = -(-n_track // self.length_bucket) * self.length_bucket
-        group_key = (im_size, bucket_T, len(objects))
+        # bucket the object count too (pad to the next power of two) so
+        # differing object counts share groups and scan programs
+        n_pad = 1 << (len(objects) - 1).bit_length()
+        group_key = (im_size, bucket_T, n_pad)
         return dict(images=images_np, objects=objects, params=params_list,
                     states=states_list, n_track=n_track, bucket_T=bucket_T,
-                    im_size=im_size, group_key=group_key)
+                    n_pad=n_pad, im_size=im_size, group_key=group_key)
 
     def _run_group(self, seq_preps, key):
         im_size, bucket_T, n_obj = key
@@ -109,8 +112,9 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         Bp = -(-B // self.n_devices) * self.n_devices  # pad to mesh multiple
 
         feats_b, dp_b, ds_b, sf_b, sm_b, lut_b = [], [], [], [], [], []
-        for i in range(Bp):
-            sequence, prep = seq_preps[min(i, B - 1)]
+        H, W = im_size
+        for i in range(B):
+            sequence, prep = seq_preps[i]
             feats_all = self._extract_sequence(prep["images"][1:])
             disc_params = jax.tree.map(lambda *x: jnp.stack(x), *prep["params"])
             disc_states = jax.tree.map(lambda *x: jnp.stack(x), *prep["states"])
@@ -119,12 +123,35 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
                 feats_all = {L: jnp.concatenate(
                     [v, jnp.repeat(v[-1:], pad, axis=0)])
                     for L, v in feats_all.items()}
+
+            # pad the object axis to the group width: padded objects have a
+            # start frame beyond the sequence (never active), empty start
+            # masks, and LUT entries mapping to background
+            n_real = len(prep["objects"])
+            opad = n_obj - n_real
+            if opad:
+                rep = lambda t: jnp.concatenate(
+                    [t, jnp.repeat(t[-1:], opad, axis=0)])
+                disc_params = jax.tree.map(rep, disc_params)
+                disc_states = jax.tree.map(rep, disc_states)
+            sf = np.full(n_obj, bucket_T + 2, np.int32)
+            sf[:n_real] = [o[1] for o in prep["objects"]]
+            sm = np.zeros((n_obj, H, W), np.float32)
+            sm[:n_real] = np.stack([o[2] for o in prep["objects"]])
+            lut = np.zeros(n_obj + 1, np.int32)
+            lut[1:n_real + 1] = [o[0] for o in prep["objects"]]
+
             feats_b.append(feats_all)
             dp_b.append(disc_params)
             ds_b.append(disc_states)
-            sf_b.append(np.asarray([o[1] for o in prep["objects"]], np.int32))
-            sm_b.append(np.stack([o[2] for o in prep["objects"]]))
-            lut_b.append(np.asarray([0] + [o[0] for o in prep["objects"]], np.int32))
+            sf_b.append(sf)
+            sm_b.append(sm)
+            lut_b.append(lut)
+
+        for i in range(B, Bp):  # mesh-multiple padding: reuse the last
+            # sequence's already-built arrays (outputs are dropped)
+            for lst in (feats_b, dp_b, ds_b, sf_b, sm_b, lut_b):
+                lst.append(lst[B - 1])
 
         stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
         outs, _, _ = self._get_vscan(im_size)(

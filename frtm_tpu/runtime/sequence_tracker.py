@@ -81,7 +81,10 @@ class BatchedSequenceTracker:
         self._disc_params0 = init_disc_params(jax.random.PRNGKey(0), cfg.disc)
         self.last_phase_report = ""
 
-        cfgl = cfg.refnet_layers
+        # extract the union of decoder layers and the discriminator's layer
+        # (they can differ, e.g. disc on layer3 — the host Tracker supports it)
+        cfgl = tuple(sorted(set(cfg.refnet_layers) | {cfg.disc.layer},
+                            reverse=True))
 
         @jax.jit
         def _extract(bb, images):
@@ -300,6 +303,8 @@ class BatchedSequenceTracker:
         objects = self._collect_objects(sequence)
         if not objects:
             raise ValueError("sequence has no objects")
+        if T == 1:  # nothing to track: the output is the start labels
+            return [self._frame0_label(objects, im_size)]
 
         # per-object init (augment once per object, GN-CG on device); the
         # device augmenter consumes the pre-uploaded frame and returns device
@@ -367,6 +372,36 @@ class BatchedSequenceTracker:
             labels = self._merge_volume(fg, lut)
             labels.block_until_ready()
         return [labels[t] for t in range(T)]
+
+    def run_dataset(self, dataset, out_path, speedrun=False, restart=None):
+        """Track every sequence, write indexed PNGs, report average FPS —
+        same surface as the host Tracker.run_dataset (and the reference's,
+        model/tracker.py:68-101)."""
+        from pathlib import Path
+        from ..data.image import imwrite_indexed
+        from ..utils.meters import AverageMeter
+        out_path = Path(out_path)
+        out_path.mkdir(exist_ok=True, parents=True)
+        fps_meter = AverageMeter()
+
+        print("Evaluating", dataset.name)
+        restarted = restart is None
+        for sequence in dataset:
+            if not restarted:
+                if sequence.name != restart:
+                    continue
+                restarted = True
+            if hasattr(sequence, "preload"):
+                sequence.preload()
+            outputs, seq_fps = self.run_sequence(sequence, speedrun)
+            fps_meter.update(seq_fps)
+            print(f"{sequence.name}: {seq_fps:.2f} fps")
+            dst = out_path / sequence.name
+            dst.mkdir(exist_ok=True)
+            for lb, f in zip(outputs, sequence.frame_names):
+                imwrite_indexed(dst / (f + ".png"), lb)
+        print("Average frame rate: %.2f fps" % fps_meter.avg)
+        return fps_meter.avg
 
     def _frame_dev(self, t, images_np, chunks):
         """Device copy of frame t from the preloaded buffers (None -> let the

@@ -108,7 +108,8 @@ class Tracker:
         @partial(jax.jit, static_argnums=(3,))
         def _classify_refine(dparams, refiner, features, im_size):
             ft = features[cfg.disc.layer]
-            scores, cft = disc_apply(dparams, ft)
+            scores, cft = disc_apply(dparams, ft,
+                                     clamp_output=cfg.disc.clamp_output)
             logits = seg_network_apply(refiner, scores,
                                        {L: features[L] for L in cfg.refnet_layers},
                                        im_size, layers=cfg.refnet_layers)

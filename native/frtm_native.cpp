@@ -278,7 +278,8 @@ int read_png_index(const char* path, uint8_t* out, int h, int w) {
     int depth = png_get_bit_depth(png, info);
     if (static_cast<int>(png_get_image_height(png, info)) != h ||
         static_cast<int>(png_get_image_width(png, info)) != w ||
-        (color != PNG_COLOR_TYPE_PALETTE && color != PNG_COLOR_TYPE_GRAY)) {
+        (color != PNG_COLOR_TYPE_PALETTE && color != PNG_COLOR_TYPE_GRAY) ||
+        depth > 8) {  // 16-bit rows would overflow the byte-strided buffer
         png_destroy_read_struct(&png, &info, nullptr);
         fclose(f);
         return -3;
