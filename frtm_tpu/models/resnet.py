@@ -180,13 +180,17 @@ def _bottleneck_block(p, x, stride):
     return relu(h + idn)
 
 
-def extract_features(params, images, arch: str, output_layers=None, dtype=jnp.float32):
+def extract_features(params, images, arch: str, output_layers=None,
+                     dtype=jnp.float32, out_dtype=jnp.float32):
     """Run the frozen backbone on a batch of raw 0-255 NHWC images.
 
     :param images:        (N, H, W, 3), any dtype holding 0..255 values
     :param output_layers: optional iterable of layer names to keep
     :param dtype:         compute dtype (jnp.bfloat16 on TPU for 2x MXU rate)
-    :return: {layer1..layer5: (N, h, w, c) float32 feature maps}
+    :param out_dtype:     dtype of the emitted feature maps (bf16 halves the
+                          pyramid's HBM footprint for consumers that compute
+                          in bf16 anyway; the solver path wants float32)
+    :return: {layer1..layer5: (N, h, w, c) feature maps}
     """
     block, depths = RESNET_SPECS[arch]
     block_fn = _basic_block if block == "basic" else _bottleneck_block
@@ -203,7 +207,7 @@ def extract_features(params, images, arch: str, output_layers=None, dtype=jnp.fl
 
     def save(name, t):
         if want is None or name in want:
-            out[name] = t.astype(jnp.float32)
+            out[name] = t.astype(out_dtype)
 
     x = relu(batch_norm(conv2d(x, cast(params["conv1"]), stride=2), jax.tree.map(cast, params["bn1"])))
     x = max_pool_3x3_s2(x)

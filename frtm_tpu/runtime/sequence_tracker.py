@@ -88,8 +88,10 @@ class BatchedSequenceTracker:
 
         @jax.jit
         def _extract(bb, images):
+            # features stay in the compute dtype end-to-end: the decoder is
+            # bf16 and the solver's einsum upcasts layer4 itself
             return extract_features(bb, images, self.arch, output_layers=cfgl,
-                                    dtype=self.dtype)
+                                    dtype=self.dtype, out_dtype=self.dtype)
 
         @jax.jit
         def _extract_disc_layer(bb, images):
@@ -278,7 +280,9 @@ class BatchedSequenceTracker:
         images_np = np.stack([sequence[t][0] for t in range(len(sequence))])
 
         if speedrun:
-            self._run(images_np, sequence)
+            # drain the warm-up's device work before the measured pass —
+            # otherwise its scan still occupies the chip when the clock starts
+            jax.block_until_ready(self._run(images_np, sequence))
 
         from ..utils.profiling import PhaseTimer
         timer = PhaseTimer(sync=False)
@@ -376,7 +380,10 @@ class BatchedSequenceTracker:
     def run_dataset(self, dataset, out_path, speedrun=False, restart=None):
         """Track every sequence, write indexed PNGs, report average FPS —
         same surface as the host Tracker.run_dataset (and the reference's,
-        model/tracker.py:68-101)."""
+        model/tracker.py:68-101). The NEXT sequence's frames decode in a
+        background thread while the current one tracks (the reference notes
+        it could not overlap decode with device compute, tracker.py:88-91)."""
+        from concurrent.futures import ThreadPoolExecutor
         from pathlib import Path
         from ..data.image import imwrite_indexed
         from ..utils.meters import AverageMeter
@@ -386,20 +393,32 @@ class BatchedSequenceTracker:
 
         print("Evaluating", dataset.name)
         restarted = restart is None
+        sequences = []
         for sequence in dataset:
             if not restarted:
                 if sequence.name != restart:
                     continue
                 restarted = True
-            if hasattr(sequence, "preload"):
-                sequence.preload()
-            outputs, seq_fps = self.run_sequence(sequence, speedrun)
-            fps_meter.update(seq_fps)
-            print(f"{sequence.name}: {seq_fps:.2f} fps")
-            dst = out_path / sequence.name
-            dst.mkdir(exist_ok=True)
-            for lb, f in zip(outputs, sequence.frame_names):
-                imwrite_indexed(dst / (f + ".png"), lb)
+            sequences.append(sequence)
+
+        def _preload(seq):
+            if hasattr(seq, "preload"):
+                seq.preload()
+            return seq
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(_preload, sequences[0]) if sequences else None
+            for i, sequence in enumerate(sequences):
+                nxt.result()
+                if i + 1 < len(sequences):
+                    nxt = pool.submit(_preload, sequences[i + 1])
+                outputs, seq_fps = self.run_sequence(sequence, speedrun)
+                fps_meter.update(seq_fps)
+                print(f"{sequence.name}: {seq_fps:.2f} fps")
+                dst = out_path / sequence.name
+                dst.mkdir(exist_ok=True)
+                for lb, f in zip(outputs, sequence.frame_names):
+                    imwrite_indexed(dst / (f + ".png"), lb)
         print("Average frame rate: %.2f fps" % fps_meter.avg)
         return fps_meter.avg
 
