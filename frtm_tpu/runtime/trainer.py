@@ -215,7 +215,11 @@ class Trainer:
     def __init__(self, name, model: TrainerModel, datasets, checkpoints_path,
                  log_path, max_epochs=260, batch_size=16, lr=1e-3,
                  lr_step=127, lr_gamma=0.1, weight_decay=1e-5,
-                 load_latest=True, save_interval=1):
+                 load_latest=True, save_interval=1, mesh=None):
+        """:param mesh: optional jax.sharding.Mesh — when given, the train
+        step runs data-parallel over its 'data' axis (batch sharded, params
+        replicated; GSPMD inserts the gradient all-reduce and BN statistics
+        become global)."""
         self.name = name
         self.model = model
         self.datasets = datasets        # list of factory callables -> dataset
@@ -237,9 +241,15 @@ class Trainer:
         self.tx = make_optimizer(self.base_lr, weight_decay)
         self.opt_state = self.tx.init(self.model.refiner)
 
-        self._jit_step = jax.jit(
-            lambda refiner, opt_state, bb, disc, images, labels:
-            self.model._train_step(refiner, opt_state, bb, disc, images, labels, self.tx))
+        if mesh is not None:
+            from ..parallel.train_step import make_sharded_train_step
+            self._jit_step = make_sharded_train_step(self.model._train_step,
+                                                     mesh, self.tx)
+        else:
+            self._jit_step = jax.jit(
+                lambda refiner, opt_state, bb, disc, images, labels:
+                self.model._train_step(refiner, opt_state, bb, disc, images,
+                                       labels, self.tx))
 
         if load_latest:
             ckpts = sorted(self.checkpoints_path.glob(f"{name}_ep*.npz"))

@@ -87,3 +87,23 @@ def test_steplr_schedule():
         assert abs(tr._lr() - 1e-3) < 1e-12   # StepLR steps AFTER epoch 127
         tr.epoch = 128
         assert abs(tr._lr() - 1e-4) < 1e-12
+
+
+@pytest.mark.slow
+def test_trainer_data_parallel_over_mesh():
+    """Trainer(mesh=...) runs the same loop data-parallel over 8 virtual
+    devices and still reduces the loss."""
+    from frtm_tpu.parallel import make_mesh
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg, model = _tiny_setup(tmp)
+        dset = lambda: SyntheticTrainingDataset(n_samples=8, size=(96, 128),
+                                                sample_size=2, seed=0)
+        tr = Trainer("dp1", model, [dset], Path(tmp) / "ckpt", Path(tmp) / "log",
+                     max_epochs=2, batch_size=8, lr=1e-3, load_latest=False,
+                     mesh=make_mesh(8))
+        import io, contextlib, json
+        with contextlib.redirect_stdout(io.StringIO()):
+            tr.train()
+        stats = [json.loads(l) for l in open(Path(tmp) / "log" / "dp1" / "stats.jsonl")]
+        losses = [s["stats/loss"] for s in stats]
+        assert losses[-1] < losses[0], losses

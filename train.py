@@ -35,6 +35,8 @@ def main():
                     help="torchvision-format resnet .pth")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--max-epochs", type=int, default=260)
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel over N devices (0 = single device)")
     args = ap.parse_args()
 
     import jax
@@ -86,10 +88,15 @@ def main():
         datasets.append(lambda: SyntheticTrainingDataset(n_samples=32,
                                                          size=(120, 160)))
 
+    mesh = None
+    if args.dp:
+        from frtm_tpu.parallel import make_mesh
+        mesh = make_mesh(args.dp)
     trainer = Trainer(args.name, model, datasets,
                       checkpoints_path=ws / "checkpoints",
                       log_path=ws / "logs",
-                      max_epochs=args.max_epochs, batch_size=args.batch_size)
+                      max_epochs=args.max_epochs, batch_size=args.batch_size,
+                      mesh=mesh)
     trainer.train()
 
 
