@@ -99,3 +99,16 @@ def test_sharded_train_step_matches_single_device():
     # dryrun exercises the 8-device mesh end-to-end (conftest fakes 8 CPU devices)
     g.dryrun_multichip(8)
     g.dryrun_multichip(4)
+
+
+@pytest.mark.slow
+def test_scan_tracker_multiple_image_sizes():
+    """Different sequence resolutions (YouTubeVOS-style) compile separate
+    programs and both track correctly in one tracker instance."""
+    cfg, backbone, refiner = _cfg_and_weights()
+    fused = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4)
+    for size in [(64, 96), (96, 128)]:
+        seq = make_moving_square_sequence(n_frames=4, size=size, square=20, seed=5)
+        outs, _ = fused.run_sequence(seq)
+        assert outs[0].shape == size
+        np.testing.assert_array_equal(outs[0], seq.labels[0].squeeze())
