@@ -15,8 +15,10 @@ from .memory import MemoryState, memory_init, memory_update
 from .discriminator import (
     DiscConfig, DiscParams, DiscState,
     init_disc_params, disc_init, disc_apply, disc_update, filter_resolve,
-    compute_pixel_weights,
+    compute_pixel_weights, online_update_weights,
 )
+from .lsq_stencil import precompute_stencil, project_targets, apply_stencil
+from .multilayer import ml_init_params, ml_disc_init, ml_disc_apply, ml_disc_update
 
 __all__ = [
     "RESNET_SPECS", "init_resnet", "resnet_from_torch_state_dict",

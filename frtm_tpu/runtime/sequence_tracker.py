@@ -105,10 +105,10 @@ class BatchedSequenceTracker:
         self._extract = _extract
         self._extract_disc_layer = _extract_disc_layer
         self._init_disc = _init_disc
-        # the feature pyramid (arg 1) is consumed only by the scan: donating
-        # it lets XLA release the largest buffer while the scan runs
-        self._scan_track = jax.jit(self._make_scan(), static_argnames=("im_size",),
-                                   donate_argnums=(1,))
+        # (input donation was tried for the pyramid: XLA cannot alias it into
+        # the label outputs, so it only produced warnings — buffers free after
+        # last use regardless)
+        self._scan_track = jax.jit(self._make_scan(), static_argnames=("im_size",))
         self._merge_volume = jax.jit(merge_volume)
 
     # ------------------------------------------------------------------
