@@ -28,5 +28,7 @@ __all__ = [
     "MemoryState", "memory_init", "memory_update",
     "DiscConfig", "DiscParams", "DiscState",
     "init_disc_params", "disc_init", "disc_apply", "disc_update", "filter_resolve",
-    "compute_pixel_weights",
+    "compute_pixel_weights", "online_update_weights",
+    "precompute_stencil", "project_targets", "apply_stencil",
+    "ml_init_params", "ml_disc_init", "ml_disc_apply", "ml_disc_update",
 ]

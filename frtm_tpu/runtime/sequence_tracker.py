@@ -281,6 +281,10 @@ class BatchedSequenceTracker:
         """Track a sequence (mid-sequence object entry supported).
         Returns (list of (H, W) uint8 label images, fps)."""
         images_np = np.stack([sequence[t][0] for t in range(len(sequence))])
+        # frame-0 device copy must precede the warm-up: the device augmenter
+        # consumes it, and a stale copy from a previous sequence would have
+        # the wrong content (or shape)
+        self._frame0_dev = jax.device_put(images_np[0])
 
         if speedrun:
             # drain the warm-up's device work before the measured pass —
@@ -290,7 +294,6 @@ class BatchedSequenceTracker:
         from ..utils.profiling import PhaseTimer
         timer = PhaseTimer(sync=False)
         chunks = self._upload_chunks(images_np[1:])  # preload, like the reference
-        self._frame0_dev = jax.device_put(images_np[0])
         jax.block_until_ready([self._frame0_dev] + [c for c, _ in chunks])
         # preload COMPLETES before the clock starts (reference:
         # sequence.preload(device) precedes the timed loop,
@@ -385,7 +388,11 @@ class BatchedSequenceTracker:
         same surface as the host Tracker.run_dataset (and the reference's,
         model/tracker.py:68-101). The NEXT sequence's frames decode in a
         background thread while the current one tracks (the reference notes
-        it could not overlap decode with device compute, tracker.py:88-91)."""
+        it could not overlap decode with device compute, tracker.py:88-91);
+        on few-core hosts this lowers total wall time at the cost of slightly
+        pessimistic per-sequence fps readouts (decode steals host cycles from
+        the timed window). Processed sequences release their decoded frames
+        so host memory stays bounded on long datasets."""
         from concurrent.futures import ThreadPoolExecutor
         from pathlib import Path
         from ..data.image import imwrite_indexed
@@ -422,6 +429,8 @@ class BatchedSequenceTracker:
                 dst.mkdir(exist_ok=True)
                 for lb, f in zip(outputs, sequence.frame_names):
                     imwrite_indexed(dst / (f + ".png"), lb)
+                sequence.preloaded = None  # release decoded frames
+                sequences[i] = None
         print("Average frame rate: %.2f fps" % fps_meter.avg)
         return fps_meter.avg
 

@@ -14,6 +14,9 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
 def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(1)
     trace_dir = sys.argv[1]
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 

@@ -90,6 +90,9 @@ def main():
 
     mesh = None
     if args.dp:
+        if args.batch_size % args.dp:
+            ap.error(f"--batch-size {args.batch_size} must be divisible by "
+                     f"--dp {args.dp}")
         from frtm_tpu.parallel import make_mesh
         mesh = make_mesh(args.dp)
     trainer = Trainer(args.name, model, datasets,
