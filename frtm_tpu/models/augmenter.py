@@ -203,9 +203,9 @@ class ImageAugmenter:
         inpainted = cv2.inpaint(image, mask1, inpaintRadius=d, flags=cv2.INPAINT_TELEA)
 
         m = ((1 - mask0) * mask1)[..., None] if mask0.ndim == 2 else (1 - mask0) * mask1
-        m = cv2.blur(m.squeeze() * 255, ksize=(d, d))[..., None] / 255.0
+        m = (cv2.blur(m.squeeze() * 255, ksize=(d, d))[..., None] / 255.0).astype(np.float32)
         bim = cv2.blur(inpainted, ksize=(d, d))
-        inpainted = (bim * m + (1 - m) * inpainted).astype(np.uint8)
+        inpainted = (bim * m + (1.0 - m) * inpainted).astype(np.uint8)
         return target.astype(np.float32), inpainted
 
     # -- warp / filter / paste (host cv2 or device XLA backend) -------------
@@ -381,7 +381,11 @@ class ImageAugmenter:
                     aug_labels.append(wlabels_np)
 
         # pasted images become bytes like the reference's .byte() cast
-        # (warp_filter_and_paste, augmenter.py:402); labels are exact 0/1
-        images = np.stack([image] + aug_images).astype(np.uint8)
-        labels = np.stack([mask] + aug_labels).astype(np.uint8)
+        # (warp_filter_and_paste, augmenter.py:402); labels are exact 0/1.
+        # convert per-item BEFORE stacking: a mixed uint8/float32 stack would
+        # promote to float64 (a 50 MB temp at DAVIS scale on a slow host core)
+        images = np.stack([np.asarray(image, np.uint8)]
+                          + [im.astype(np.uint8) for im in aug_images])
+        labels = np.stack([np.asarray(mask, np.uint8)]
+                          + [lb.astype(np.uint8) for lb in aug_labels])
         return images, labels
