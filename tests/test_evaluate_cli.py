@@ -33,7 +33,8 @@ def _make_fake_davis(root, seqs, year="2017"):
 
 
 @pytest.mark.slow
-def test_evaluate_cli_end_to_end(tmp_path):
+@pytest.mark.parametrize("engine", ["fused", "host", "sharded"])
+def test_evaluate_cli_end_to_end(tmp_path, engine):
     from tests.test_checkpoint_conversion import _refiner_sd
     rng = np.random.RandomState(0)
 
@@ -49,10 +50,9 @@ def test_evaluate_cli_end_to_end(tmp_path):
     r = subprocess.run(
         [sys.executable, str(REPO / "evaluate.py"), "--model", str(ckpt),
          "--dset", "dv2017val", "--dev", "cpu", "--fast", "--dtype", "float32",
-         "--davis", str(davis), "--output", str(out), "--engine", "fused"],
+         "--davis", str(davis), "--output", str(out), "--engine", engine],
         capture_output=True, text=True, cwd=REPO, timeout=1200)
     assert r.returncode == 0, r.stderr[-3000:]
-    assert "Average frame rate" in r.stdout
     assert "Computing J-scores" in r.stdout
 
     res_dir = out / "dv2017val-rn18_fake_fast"
