@@ -4,232 +4,255 @@ is visible.
 
 Capability parity with /root/reference/lib/training_datasets.py: SampleSpec
 (JSON-encodable sample descriptors), the occlusion-metadata cache computed
-from per-frame label pixel counts (with DAVIS's hand-tuned per-sequence
-thresholds/overrides and YouTubeVOS's <100px rule), epoch resampling
-(DAVIS: every object x repeats; YTVOS: N random (seq, obj) picks), 480x854
-resizing with cv2 INTER_AREA/CUBIC and nearest labels, and binary relabeling
-of the chosen object to id 1. The reference's quirk of drawing `size` frames
-and discarding the first (lib/training_datasets.py:122-130) is preserved so
-frame statistics match.
+from per-frame label pixel counts, epoch resampling (DAVIS: every object x
+repeats; YTVOS: N random (seq, obj) picks), 480x854 resizing with cv2
+INTER_AREA/CUBIC and nearest labels, and binary relabeling of the chosen
+object to id 1. Structure is original: a `VisibilityTable` owns the cached
+occlusion matrices and answers frame/object queries, per-dataset occlusion
+RULES are free functions, and the datasets compose the two.
+
+The DAVIS occlusion rule's hand-tuned per-sequence data (never_occluded list,
+thresholds, classic-car/drone/night-race overrides) is DATA the reference
+encodes (lib/training_datasets.py:211-262) and is reproduced verbatim — the
+values, not the code, are the spec. The reference's sampling quirk of drawing
+`size` frames and discarding the first (lib/training_datasets.py:122-130) is
+preserved so frame statistics match.
 
 The cache is stored as .npz next to the dataset root (not torch .pth).
 A SyntheticTrainingDataset provides data-free training for tests/benchmarks.
 """
 import json
 import random
-from collections import OrderedDict
+from dataclasses import dataclass, asdict
 from pathlib import Path
+from typing import List, Optional
 
 import numpy as np
 import cv2
 from PIL import Image
 
 
+@dataclass
 class SampleSpec:
     """One training sample: sequence, object, [frame0, frame1, frame2]."""
-
-    def __init__(self, seq_name=None, obj_id=None, frames=None, frame0_id=None):
-        self.seq_name = seq_name
-        self.obj_id = obj_id
-        self.frames = frames
-        self.frame0_id = frame0_id
-
-    def __repr__(self):
-        return "SampleSpec: " + str(vars(self))
+    seq_name: Optional[str] = None
+    obj_id: Optional[int] = None
+    frames: Optional[List[int]] = None
+    frame0_id: Optional[int] = None
 
     def encoded(self):
-        return json.dumps(vars(self))
+        return json.dumps(asdict(self))
 
     @staticmethod
     def from_encoded(meta):
         return [SampleSpec(**json.loads(m)) for m in meta]
 
 
-class TrainingDataset:
+# -- occlusion metadata --------------------------------------------------------
 
-    def __init__(self, name, dset_path):
-        self.dset_path = Path(dset_path)
-        self.name = name
-        self.occlusions = None
-        self.frame_names = None
-        self.specs = []
+def _scan_label_stats(anno_path, sequences):
+    """Per-sequence (pixel-count matrix, per-object max) from the label PNGs.
 
-    # -- occlusion metadata --------------------------------------------------
+    The matrix is (n_frames, max_obj_id + 1); column 0 is the background."""
+    frame_names, pixel_counts = {}, {}
+    for seq in sorted(sequences):
+        files = sorted((Path(anno_path) / seq).glob("*.png"))
+        stats = [np.unique(np.array(Image.open(f)), return_counts=True)
+                 for f in files]
+        n_objects = max(int(ids.max()) for ids, _ in stats)
+        px = np.zeros((len(files), n_objects + 1))
+        for row, (ids, counts) in zip(px, stats):
+            row[ids] = counts
+        frame_names[seq] = [f.stem for f in files]
+        pixel_counts[seq] = (px, px.max(axis=0))
+    return frame_names, pixel_counts
 
-    def _meta_file(self):
-        return self.dset_path / (self.name + "_meta.npz")
 
-    def load_meta(self):
-        meta_file = self._meta_file()
-        if meta_file.exists():
-            z = np.load(meta_file, allow_pickle=True)
-            return dict(frame_names=z["frame_names"].item(),
-                        occlusions=z["occlusions"].item())
+# DAVIS hand-tuned occlusion data (reference lib/training_datasets.py:211-262)
+_DAVIS_MIN_PX = 100
+_DAVIS_NEVER_OCCLUDED = frozenset({
+    "bus", "car-turn", "drift-turn", "kid-football", "koala", "mallard-fly",
+    "motocross-bumps", "motorbike", "rallye", "snowboard", "train",
+    "upside-down"})
+_DAVIS_THRESHOLDS = {
+    "bmx-bumps": 0.5, "disk-jockey": 0.5,
+    "boxing-fisheye": 0.2, "cat-girl": 0.2, "dog-gooses": 0.2,
+    "tractor-sand": 0.1, "drone": 0.1}
 
-        print("Caching occlusions for %s, please wait." % self.anno_path)
-        frame_names = dict()
-        label_pixel_counts = dict()
-        for seq in sorted(self.sequences):
-            p = self.anno_path / seq
-            files = sorted(p.glob("*.png"))
-            per_frame = []
-            num_objects = 0
-            for f in files:
-                lb = np.array(Image.open(f))
-                ids, counts = np.unique(lb, return_counts=True)
-                per_frame.append((ids, counts))
-                num_objects = max(num_objects, int(ids.max()))
-            px = np.zeros((len(per_frame), num_objects + 1))
-            for i, (ids, counts) in enumerate(per_frame):
-                px[i, ids] = counts
-            frame_names[seq] = [f.stem for f in files]
-            label_pixel_counts[seq] = (px, px.max(axis=0))
 
-        occlusions = self._generate_occlusions(label_pixel_counts)
-        np.savez(meta_file, frame_names=np.array(frame_names, dtype=object),
-                 occlusions=np.array(occlusions, dtype=object))
-        return dict(frame_names=frame_names, occlusions=occlusions)
+def davis_occlusion_rule(seq_name, px_counts, max_counts):
+    """(n_frames, n_objects+1) boolean occlusion matrix for one DAVIS
+    sequence, with the hand-tuned thresholds and per-sequence overrides."""
+    if seq_name in _DAVIS_NEVER_OCCLUDED:
+        occ = np.zeros(px_counts.shape, bool)
+    else:
+        thr = _DAVIS_THRESHOLDS.get(seq_name, 0.25)
+        occ = (px_counts / (max_counts + 0.001)) < thr
+        occ |= max_counts == 0
 
-    # -- epoch sampling ------------------------------------------------------
+    if seq_name == "classic-car":
+        occ[:56, :] = False
+    elif seq_name == "drone":
+        occ[:17, 1] = False      # red quad
+        occ[24:60, 1] = False
+    elif seq_name == "night-race":
+        occ[:29, :] = False
+        occ[:, 2] = False        # green car
 
-    def generate_samples(self, epoch_samples, epoch_repeats, min_seq_length, sample_size):
-        d = self.load_meta()
-        self.occlusions = d["occlusions"]
-        self.frame_names = d["frame_names"]
+    return occ | (px_counts < _DAVIS_MIN_PX)
 
-        candidates = []
-        for seq_name in self.sequences:
-            if self.sequence_length(seq_name) < min_seq_length:
-                continue
-            for obj_id in self.object_ids(seq_name)[1:].tolist():
-                candidates.append((seq_name, obj_id))
 
-        if epoch_samples > 0:
-            candidates = random.sample(candidates, min(epoch_samples, len(candidates)))
+def ytvos_occlusion_rule(seq_name, px_counts, max_counts):
+    """YouTubeVOS rule: under 100 labeled pixels = occluded."""
+    return px_counts < 100
 
-        self.specs = []
-        for seq_name, obj_id in candidates:
-            for _ in range(epoch_repeats):
-                self.specs.append(self.sample_random_image_set(seq_name, obj_id,
-                                                               size=sample_size))
 
-    def sample_random_image_set(self, seq_name, obj_id, size=3):
-        visible = self.object_visibility(seq_name, [obj_id], merge_objects=True)
-        possible = np.where(visible)[0]
-        first_frame = int(np.random.choice(possible, size=1)[0])
-        allframes = np.arange(self.sequence_length(seq_name))
-        allframes = allframes[allframes != first_frame]
-        frames = np.random.choice(allframes, size=size, replace=False).tolist()
-        # the reference drops the first of the second draw (frames[0]) so a
-        # `size`-frame sample has frame0 + (size-1) train frames
-        return SampleSpec(seq_name, obj_id, frames=[first_frame, *frames[1:]],
-                          frame0_id=first_frame)
+class VisibilityTable:
+    """Cached per-(sequence, frame, object) visibility, derived from label
+    pixel counts by a dataset-specific occlusion rule. The cache lives as
+    .npz next to the dataset root, keyed by the dataset name."""
 
-    def object_ids(self, seq_name):
-        occ = self.occlusions[seq_name]
-        always_occluded = occ.sum(axis=0) == occ.shape[0]
-        return np.where(~always_occluded)[0]
+    def __init__(self, name, dset_path, anno_path, sequences, rule):
+        self._cache_file = Path(dset_path) / (name + "_meta.npz")
+        if self._cache_file.exists():
+            z = np.load(self._cache_file, allow_pickle=True)
+            self.frame_names = z["frame_names"].item()
+            self.occlusions = z["occlusions"].item()
+            return
+        print("Caching occlusions for %s, please wait." % anno_path)
+        self.frame_names, stats = _scan_label_stats(anno_path, sequences)
+        self.occlusions = {seq: rule(seq, px, mx)
+                           for seq, (px, mx) in stats.items()}
+        np.savez(self._cache_file,
+                 frame_names=np.array(self.frame_names, dtype=object),
+                 occlusions=np.array(self.occlusions, dtype=object))
 
-    def object_visibility(self, seq_name, obj_ids, merge_objects=False):
-        visible = ~np.asarray(self.occlusions[seq_name], bool)
-        visible = visible[:, 1:] if obj_ids is None else visible[:, obj_ids]
-        if visible.ndim == 1:
-            visible = visible[:, None]
-        if merge_objects:
-            visible = visible.any(axis=1)
-        return visible
-
-    def sequence_length(self, seq_name):
+    def length(self, seq_name):
         return self.occlusions[seq_name].shape[0]
+
+    def trackable_objects(self, seq_name):
+        """Ids (excluding background 0) visible in at least one frame."""
+        occ = np.asarray(self.occlusions[seq_name], bool)
+        ever_visible = np.where(~occ.all(axis=0))[0]
+        return [int(o) for o in ever_visible if o != 0]
+
+    def visible_frames(self, seq_name, obj_id):
+        """Frame indices where the object is visible."""
+        occ = np.asarray(self.occlusions[seq_name], bool)
+        return np.where(~occ[:, obj_id])[0]
+
+
+# -- sampling -------------------------------------------------------------------
+
+def draw_sample_spec(table: VisibilityTable, seq_name, obj_id, size=3):
+    """Random sample: frame0 uniformly over visible frames, then `size` draws
+    (without replacement) over the remaining frames of which the FIRST is
+    discarded — the reference's quirk (lib/training_datasets.py:122-130),
+    kept so frame statistics match. Uses np.random (seeded by the trainer)."""
+    first = int(np.random.choice(table.visible_frames(seq_name, obj_id)))
+    rest = np.arange(table.length(seq_name))
+    rest = rest[rest != first]
+    drawn = np.random.choice(rest, size=size, replace=False).tolist()
+    return SampleSpec(seq_name, obj_id, frames=[first, *drawn[1:]],
+                      frame0_id=first)
+
+
+def build_epoch_specs(table, sequences, epoch_samples, epoch_repeats,
+                      min_seq_length, sample_size):
+    """One epoch's SampleSpecs: every (sequence, object) candidate — or a
+    random subset of epoch_samples of them — times epoch_repeats draws."""
+    candidates = [(seq, obj)
+                  for seq in sequences
+                  if table.length(seq) >= min_seq_length
+                  for obj in table.trackable_objects(seq)]
+    if epoch_samples > 0:
+        candidates = random.sample(candidates, min(epoch_samples, len(candidates)))
+    return [draw_sample_spec(table, seq, obj, size=sample_size)
+            for seq, obj in candidates
+            for _ in range(epoch_repeats)]
+
+
+# -- frame loading ----------------------------------------------------------------
+
+def _load_sample_frame(jpeg_path, anno_path, spec, frame_name, area_ok):
+    """One (image, binary label) pair at 480x854. Images downscale with
+    INTER_AREA (or always for DAVIS), otherwise INTER_CUBIC; labels resize
+    nearest and relabel the chosen object to 1."""
+    im = np.array(Image.open(Path(jpeg_path) / spec.seq_name / (frame_name + ".jpg")))
+    shrinking = 480 / im.shape[0] < 1.0
+    interp = cv2.INTER_AREA if (shrinking or area_ok) else cv2.INTER_CUBIC
+    im = cv2.resize(im, (854, 480), interpolation=interp)
+
+    lb = np.array(Image.open(Path(anno_path) / spec.seq_name / (frame_name + ".png")))
+    lb = (lb == spec.obj_id).astype(np.uint8)
+    lb = cv2.resize(lb, (854, 480), interpolation=cv2.INTER_NEAREST)
+    return im, lb[..., None]
+
+
+class _EpochSampleDataset:
+    """Shared dataset shape: a list of SampleSpecs drawn per epoch, read
+    lazily from disk at __getitem__ time."""
+
+    def __init__(self, name, dset_path, jpeg_path, anno_path, sequences, rule,
+                 epoch_samples, epoch_repeats, min_seq_length, sample_size):
+        self.name = name
+        self.dset_path = Path(dset_path)
+        self.jpeg_path = jpeg_path
+        self.anno_path = anno_path
+        self.sequences = list(sequences)
+        self.table = VisibilityTable(name, self.dset_path, anno_path,
+                                     self.sequences, rule)
+        self.specs = build_epoch_specs(self.table, self.sequences,
+                                       epoch_samples, epoch_repeats,
+                                       min_seq_length, sample_size)
 
     def __len__(self):
         return len(self.specs)
 
     def __getitem__(self, item):
         spec = self.specs[item]
-        images, labels = [], []
-        frame_names = self.frame_names[spec.seq_name]
-        for f in spec.frames:
-            frame = frame_names[f]
-            im = np.array(Image.open(self.jpeg_path / spec.seq_name / (frame + ".jpg")))
-            s = 480 / im.shape[0]
-            interp = cv2.INTER_AREA if (s < 1.0) or (self.name == "davis") else cv2.INTER_CUBIC
-            im = cv2.resize(im, (854, 480), interpolation=interp)
-            images.append(im)
-
-            lb = np.array(Image.open(self.anno_path / spec.seq_name / (frame + ".png")))
-            lb = (lb == spec.obj_id).astype(np.uint8)
-            lb = cv2.resize(lb, (854, 480), interpolation=cv2.INTER_NEAREST)
-            labels.append(lb[..., None])
-        return images, labels, spec.encoded()
+        names = self.table.frame_names[spec.seq_name]
+        pairs = [_load_sample_frame(self.jpeg_path, self.anno_path, spec,
+                                    names[f], area_ok=self.name == "davis")
+                 for f in spec.frames]
+        return [p[0] for p in pairs], [p[1] for p in pairs], spec.encoded()
 
 
-class DAVISTrainingDataset(TrainingDataset):
+class DAVISTrainingDataset(_EpochSampleDataset):
 
     def __init__(self, dset_path, epoch_repeats=8, epoch_samples=0,
                  min_seq_length=4, sample_size=3):
-        super().__init__("davis", dset_path)
-        self.jpeg_path = self.dset_path / "JPEGImages" / "480p"
-        self.anno_path = self.dset_path / "Annotations" / "480p"
-        self.sequences = [s.strip() for s in
-                          open(self.dset_path / "ImageSets/2017/train.txt")]
-        self.generate_samples(epoch_samples, epoch_repeats, min_seq_length, sample_size)
-
-    def _generate_occlusions(self, label_pixel_counts):
-        """DAVIS occlusion flags with the reference's hand-tuned per-sequence
-        thresholds and overrides (lib/training_datasets.py:211-262)."""
-        occlusions = OrderedDict()
-        min_px = 100
-        never_occluded = ["bus", "car-turn", "drift-turn", "kid-football", "koala",
-                          "mallard-fly", "motocross-bumps", "motorbike",
-                          "rallye", "snowboard", "train", "upside-down"]
-        thresholds = {"bmx-bumps": 0.5, "disk-jockey": 0.5,
-                      "boxing-fisheye": 0.2, "cat-girl": 0.2, "dog-gooses": 0.2,
-                      "tractor-sand": 0.1, "drone": 0.1}
-
-        for seq_name in self.sequences:
-            px_counts, max_counts = label_pixel_counts[seq_name]
-            if seq_name in never_occluded:
-                occ = np.zeros(px_counts.shape, bool)
-            else:
-                occ_threshold = thresholds.get(seq_name, 0.25)
-                occ = (px_counts / (max_counts + 0.001)) < occ_threshold
-                occ = occ | (max_counts == 0)
-
-            if seq_name == "classic-car":
-                occ[:56, :] = False
-            elif seq_name == "drone":
-                occ[:17, 1] = False
-                occ[24:60, 1] = False
-            elif seq_name == "night-race":
-                occ[:29, :] = False
-                occ[:, 2] = False
-
-            occ = occ | (px_counts < min_px)
-            occlusions[seq_name] = occ
-        return occlusions
+        dset_path = Path(dset_path)
+        super().__init__(
+            "davis", dset_path,
+            jpeg_path=dset_path / "JPEGImages" / "480p",
+            anno_path=dset_path / "Annotations" / "480p",
+            sequences=[s.strip() for s in
+                       open(dset_path / "ImageSets/2017/train.txt")],
+            rule=davis_occlusion_rule,
+            epoch_samples=epoch_samples, epoch_repeats=epoch_repeats,
+            min_seq_length=min_seq_length, sample_size=sample_size)
 
 
-class YouTubeVOSTrainingDataset(TrainingDataset):
+class YouTubeVOSTrainingDataset(_EpochSampleDataset):
 
     def __init__(self, dset_path, epoch_samples=4000, epoch_repeats=1,
                  min_seq_length=4, sample_size=3, year=2018):
-        super().__init__("ytvos" + str(year), dset_path)
-        self.jpeg_path = self.dset_path / "train" / "JPEGImages"
-        self.anno_path = self.dset_path / "train" / "Annotations"
-        self.sequences = [s.strip() for s in
-                          open(Path(__file__).parent / "ytvos_jjtrain.txt")]
-        self.generate_samples(epoch_samples, epoch_repeats, min_seq_length, sample_size)
-
-    def _generate_occlusions(self, label_pixel_counts):
-        """YouTubeVOS rule: under 100 labeled pixels = occluded."""
-        return OrderedDict((seq, px < 100)
-                           for seq, (px, _) in label_pixel_counts.items())
+        dset_path = Path(dset_path)
+        super().__init__(
+            "ytvos" + str(year), dset_path,
+            jpeg_path=dset_path / "train" / "JPEGImages",
+            anno_path=dset_path / "train" / "Annotations",
+            sequences=[s.strip() for s in
+                       open(Path(__file__).parent / "ytvos_jjtrain.txt")],
+            rule=ytvos_occlusion_rule,
+            epoch_samples=epoch_samples, epoch_repeats=epoch_repeats,
+            min_seq_length=min_seq_length, sample_size=sample_size)
 
 
 class SyntheticTrainingDataset:
     """Data-free stand-in yielding moving-square samples with the
-    TrainingDataset item interface (images, labels, encoded spec)."""
+    training-dataset item interface (images, labels, encoded spec)."""
 
     def __init__(self, n_samples=16, size=(120, 160), sample_size=3, seed=0):
         from .synthetic import make_moving_square_sequence

@@ -1,13 +1,27 @@
 """DAVIS evaluation measures: region similarity J (Jaccard) and boundary
 accuracy F, with the challenge toolkit's statistics (mean/recall/decay/std).
 
-Capability parity with /root/reference/lib/davis.py (itself adapted from
-Federico Perazzi's DAVIS toolkit): per-object scoring over frames with the
-object's first frame and the sequence's last frame excluded, the boundary map
-construction with half-pixel offset, and dilation-based boundary matching
-with radius ceil(0.008 * image diagonal). skimage is not a dependency here:
-the disk structuring element is built directly and dilation runs through
-scipy.ndimage, which matches skimage.morphology.binary_dilation exactly."""
+Provenance: the metric definitions originate in the DAVIS challenge toolkit
+(Copyright (c) 2017 Federico Perazzi, BSD license; `seg2bmap` from David
+Martin's BSDS code, January 2003), which the reference vendors at
+/root/reference/lib/davis.py:9-16. The metric MATH below is therefore the
+spec and matches the toolkit bit-for-bit on every reachable path; the code
+is an original reformulation (boundary maps via neighbor-difference planes,
+no skimage dependency — the disk structuring element is built directly and
+dilation runs through scipy.ndimage, which matches
+skimage.morphology.binary_dilation exactly).
+
+Two latent toolkit bugs are deliberately FIXED rather than transcribed, with
+no effect on any reachable path:
+  * `decay` cast its bin indices to uint8 (lib/davis.py:222), overflowing for
+    sequences with more than 255 scored frames (possible in YouTubeVOS
+    all_frames). We index with int64.
+  * `seg2bmap`'s resize branch (only taken when an output size differing from
+    the input is requested — never the case here or in the reference, both
+    always call it with the default size) had an operator-precedence bug in
+    its guard (`width > w | height > h`, lib/davis.py:162) and a `width / h`
+    typo for the column scale (lib/davis.py:185). Both corrected.
+"""
 import warnings
 from collections import OrderedDict
 from math import floor
@@ -16,8 +30,14 @@ import numpy as np
 from scipy import ndimage
 
 
+# -- sequence driver ---------------------------------------------------------
+
 def evaluate_sequence(segmentations, annotations, object_info, measure="J"):
-    """Evaluate one sequence.
+    """Score one sequence per object.
+
+    Toolkit protocol (db_eval_sequence): a frame is scored for an object only
+    strictly after the object's first frame and strictly before the
+    sequence's last frame; all other frames are NaN.
 
     :param segmentations: {frame_name: (H, W[,1]) predicted label image}
     :param annotations:   {frame_name: (H, W[,1]) ground-truth label image}
@@ -25,34 +45,41 @@ def evaluate_sequence(segmentations, annotations, object_info, measure="J"):
     :param measure:       'J' | 'F'
     :return: dict(raw={obj: per-frame scores}, mean/recall/decay/std=[per obj])
     """
-    results = dict(raw=OrderedDict())
-    measures = {"J": davis_jaccard_measure, "F": davis_f_measure}
-    stats = {"decay": decay, "mean": mean, "recall": recall, "std": std}
+    score_fn = {"J": davis_jaccard_measure, "F": davis_f_measure}[measure]
+    frames = list(annotations.keys())
+    last = len(frames) - 1
 
-    frame_names = list(annotations.keys())
+    raw = OrderedDict()
     for obj_id, first_frame in object_info.items():
-        first_idx = frame_names.index(first_frame)
-        r = np.full(len(frame_names), np.nan)
-        for i, f in enumerate(frame_names):
-            if first_idx < i < len(frame_names) - 1:
-                an = np.asarray(annotations[f]).squeeze() == obj_id
-                sg = np.asarray(segmentations[f]).squeeze() == obj_id
-                r[i] = measures[measure](sg, an)
-        results["raw"][obj_id] = r
+        first = frames.index(first_frame)
+        scores = np.full(len(frames), np.nan)
+        for i in range(first + 1, last):
+            gt_mask = np.asarray(annotations[frames[i]]).squeeze() == obj_id
+            pred_mask = np.asarray(segmentations[frames[i]]).squeeze() == obj_id
+            scores[i] = score_fn(pred_mask, gt_mask)
+        raw[obj_id] = scores
 
-    for stat, fn in stats.items():
-        results[stat] = [float(fn(r)) for r in results["raw"].values()]
-    return results
+    out = dict(raw=raw)
+    for name, stat in (("decay", decay), ("mean", mean),
+                       ("recall", recall), ("std", std)):
+        out[name] = [float(stat(s)) for s in raw.values()]
+    return out
 
+
+# -- region similarity J -----------------------------------------------------
 
 def davis_jaccard_measure(fg_mask, gt_mask):
-    """Region similarity: intersection over union of binary masks."""
+    """Region similarity: intersection over union of binary masks; both-empty
+    counts as a perfect 1 (toolkit db_eval_iou)."""
     gt_mask = np.asarray(gt_mask, bool)
     fg_mask = np.asarray(fg_mask, bool)
-    if np.isclose(gt_mask.sum(), 0) and np.isclose(fg_mask.sum(), 0):
+    union = np.sum(gt_mask | fg_mask, dtype=np.float32)
+    if union == 0:
         return 1.0
-    return np.sum(gt_mask & fg_mask) / np.sum(gt_mask | fg_mask, dtype=np.float32)
+    return np.sum(gt_mask & fg_mask) / union
 
+
+# -- boundary accuracy F -----------------------------------------------------
 
 def _disk(radius):
     """Circular structuring element matching skimage.morphology.disk."""
@@ -62,7 +89,9 @@ def _disk(radius):
 
 
 def davis_f_measure(foreground_mask, gt_mask, bound_th=0.008):
-    """Boundary F-measure via morphological boundary matching."""
+    """Boundary F-measure via morphological boundary matching (toolkit
+    db_eval_boundary): precision/recall of the two boundary maps matched
+    within radius ceil(bound_th * image diagonal)."""
     foreground_mask = np.asarray(foreground_mask).squeeze()
     gt_mask = np.asarray(gt_mask).squeeze()
     bound_pix = bound_th if bound_th >= 1 else \
@@ -70,26 +99,20 @@ def davis_f_measure(foreground_mask, gt_mask, bound_th=0.008):
 
     fg_boundary = seg2bmap(foreground_mask)
     gt_boundary = seg2bmap(gt_mask)
-
-    selem = _disk(bound_pix)
-    fg_dil = ndimage.binary_dilation(fg_boundary, selem)
-    gt_dil = ndimage.binary_dilation(gt_boundary, selem)
-
-    gt_match = gt_boundary & fg_dil
-    fg_match = fg_boundary & gt_dil
     n_fg = fg_boundary.sum()
     n_gt = gt_boundary.sum()
 
-    if n_fg == 0 and n_gt > 0:
-        precision, recall_ = 1.0, 0.0
-    elif n_fg > 0 and n_gt == 0:
-        precision, recall_ = 0.0, 1.0
-    elif n_fg == 0 and n_gt == 0:
-        precision, recall_ = 1.0, 1.0
-    else:
-        precision = fg_match.sum() / float(n_fg)
-        recall_ = gt_match.sum() / float(n_gt)
+    # Degenerate cases, collapsed from the toolkit's four-way split:
+    # both boundaries empty => P = R = 1 => F = 1; exactly one empty =>
+    # one of P/R is 0 => F = 0.
+    if n_fg == 0 and n_gt == 0:
+        return 1.0
+    if n_fg == 0 or n_gt == 0:
+        return 0.0
 
+    selem = _disk(bound_pix)
+    precision = (fg_boundary & ndimage.binary_dilation(gt_boundary, selem)).sum() / float(n_fg)
+    recall_ = (gt_boundary & ndimage.binary_dilation(fg_boundary, selem)).sum() / float(n_gt)
     if precision + recall_ == 0:
         return 0.0
     return 2 * precision * recall_ / (precision + recall_)
@@ -97,42 +120,48 @@ def davis_f_measure(foreground_mask, gt_mask, bound_th=0.008):
 
 def seg2bmap(seg, width=None, height=None):
     """Binary boundary map with 1-pixel-wide boundaries offset half a pixel
-    toward the origin (David Martin's convention, as used by the toolkit)."""
+    toward the origin (David Martin's convention, as used by the toolkit).
+
+    A pixel is boundary iff it differs from its east, south, or southeast
+    neighbor — except on the last row (east differences only) and last column
+    (south differences only); the bottom-right corner is never boundary.
+    """
     seg = np.asarray(seg, bool)
     assert np.atleast_3d(seg).shape[2] == 1
-
-    width = seg.shape[1] if width is None else width
-    height = seg.shape[0] if height is None else height
     h, w = seg.shape[:2]
+    width = w if width is None else width
+    height = h if height is None else height
 
-    ar1 = float(width) / float(height)
-    ar2 = float(w) / float(h)
-    assert not (width > w | height > h | abs(ar1 - ar2) > 0.01), \
+    # toolkit guard, with its precedence bug fixed (see module docstring)
+    assert width <= w and height <= h and \
+        abs(width / height - w / h) <= 0.01, \
         "Cannot convert %dx%d seg to %dx%d bmap." % (w, h, width, height)
 
-    e = np.zeros_like(seg)
-    s = np.zeros_like(seg)
-    se = np.zeros_like(seg)
-    e[:, :-1] = seg[:, 1:]
-    s[:-1, :] = seg[1:, :]
-    se[:-1, :-1] = seg[1:, 1:]
+    east = np.zeros_like(seg)
+    south = np.zeros_like(seg)
+    southeast = np.zeros_like(seg)
+    east[:, :-1] = seg[:, :-1] != seg[:, 1:]
+    south[:-1, :] = seg[:-1, :] != seg[1:, :]
+    southeast[:-1, :-1] = seg[:-1, :-1] != seg[1:, 1:]
 
-    b = seg ^ e | seg ^ s | seg ^ se
-    b[-1, :] = seg[-1, :] ^ e[-1, :]
-    b[:, -1] = seg[:, -1] ^ s[:, -1]
-    b[-1, -1] = False
+    b = east | south | southeast
+    b[-1, :] = east[-1, :]
+    b[:, -1] = south[:, -1]
 
-    if w == width and h == height:
+    if (w, h) == (width, height):
         return b
+    # downscale branch — unreachable in FRTM (always called at equal size);
+    # kept for toolkit capability parity, with the `width / h` typo fixed
     bmap = np.zeros((height, width), bool)
-    for x in range(w):
-        for y in range(h):
-            if b[y, x]:
-                j = 1 + floor((y - 1) + height / h)
-                i = 1 + floor((x - 1) + width / h)
-                bmap[j, i] = True
+    ys, xs = np.nonzero(b)
+    for y, x in zip(ys, xs):
+        j = 1 + floor((y - 1) + height / h)
+        i = 1 + floor((x - 1) + width / w)
+        bmap[j, i] = True
     return bmap
 
+
+# -- per-object statistics ---------------------------------------------------
 
 def nanmean(*args, **kwargs):
     with warnings.catch_warnings():
@@ -145,23 +174,23 @@ def mean(X):
 
 
 def recall(X, threshold=0.5):
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", category=RuntimeWarning)
-        x = np.asarray(X)
-        x = x[~np.isnan(x)]
-        return nanmean(x > threshold)
+    """Fraction of (non-NaN) scores above the threshold."""
+    x = np.asarray(X, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    return nanmean(x > threshold)
 
 
 def decay(X, n_bins=4):
-    """Performance drop from the first to the last quarter of the sequence."""
-    X = np.asarray(X)
-    X = X[~np.isnan(X)]
-    ids = np.round(np.linspace(1, len(X), n_bins + 1) + 1e-10) - 1
-    ids = ids.astype(np.uint8)
-    bins = [X[ids[i]:ids[i + 1] + 1] for i in range(n_bins)]
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", category=RuntimeWarning)
-        return nanmean(bins[0]) - nanmean(bins[3])
+    """Performance drop from the first to the last quarter of the sequence:
+    mean(first bin) - mean(last bin) over the toolkit's overlapping-endpoint
+    binning. Bin indices are int64 (the toolkit's uint8 cast overflowed for
+    >255 scored frames; see module docstring)."""
+    x = np.asarray(X, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    edges = (np.round(np.linspace(1, len(x), n_bins + 1) + 1e-10) - 1).astype(np.int64)
+    first_bin = x[edges[0]:edges[1] + 1]
+    last_bin = x[edges[n_bins - 1]:edges[n_bins] + 1]
+    return nanmean(first_bin) - nanmean(last_bin)
 
 
 def std(X):

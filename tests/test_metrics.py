@@ -56,6 +56,22 @@ def test_f_measure_tolerates_small_shift():
     assert davis_f_measure(shifted, seg) == 1.0
 
 
+def test_decay_long_sequence_no_overflow():
+    """The toolkit cast bin indices to uint8, overflowing past 255 scored
+    frames (YouTubeVOS all_frames sequences can exceed that). We index int64:
+    decay of a linear ramp is the first-quarter mean minus the last-quarter
+    mean regardless of length."""
+    from frtm_tpu.eval.davis import decay
+    for n in (40, 300, 1000):
+        x = np.linspace(1.0, 0.0, n)
+        d = decay(x)
+        # first-bin mean ~0.875+, last-bin mean ~0.125-: drop ≈ 0.75
+        assert 0.7 < d < 0.8, (n, d)
+    # short sequences keep toolkit behavior exactly:
+    # bins [1.0, 0.8] vs [0.6, 0.4] -> 0.9 - 0.5
+    np.testing.assert_allclose(decay(np.array([1.0, 0.8, 0.6, 0.4])), 0.4)
+
+
 def test_evaluate_sequence_exclusion_rules():
     frames = ["%05d" % i for i in range(5)]
     gt = {f: np.full((8, 8), 1, np.uint8) for f in frames}
