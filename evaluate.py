@@ -98,18 +98,11 @@ def main():
                             restart=args.restart)
     elif args.engine == "sharded":
         from frtm_tpu.parallel import make_mesh, ShardedSequenceTracker
-        from frtm_tpu.data.image import imwrite_indexed
         mesh = make_mesh()
         tracker = ShardedSequenceTracker(cfg, backbone, refiner, mesh)
-        seqs = list(dset)
-        for seq in seqs:
-            seq.preload()
-        results = tracker.run_sequences(seqs)
-        for seq in seqs:
-            dst = out_path / seq.name
-            dst.mkdir(exist_ok=True)
-            for lb, f in zip(results[seq.name], seq.frame_names):
-                imwrite_indexed(dst / (f + ".png"), lb)
+        # streaming: decode/track/write/release one mesh-sized chunk at a
+        # time — memory stays bounded on hundred-sequence datasets
+        tracker.run_dataset(dset, out_path, restart=args.restart)
     else:  # fused (default)
         from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
         tracker = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=16)

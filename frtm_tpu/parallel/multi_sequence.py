@@ -64,7 +64,11 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
     # ------------------------------------------------------------------
 
     def run_sequences(self, sequences):
-        """Track many sequences; returns {name: [(H, W) uint8 labels]}."""
+        """Track many sequences; returns {name: [(H, W) uint8 labels]}.
+
+        Holds every prepared sequence and every result in RAM — fine for
+        DAVIS-val-sized datasets; for large datasets use the streaming
+        `run_dataset`, which bounds memory to one chunk."""
         groups = defaultdict(list)
         prepared = {}
         for seq in sequences:
@@ -76,6 +80,62 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         for key, names in groups.items():
             results.update(self._run_group([prepared[n] for n in names], key))
         return results
+
+    def _group_key_meta(self, sequence):
+        """The compiled-program group key from sequence METADATA only (one
+        frame decoded for the image size) — lets run_dataset group without
+        preparing, so memory stays bounded to one chunk."""
+        im_size = tuple(np.asarray(sequence[0][0]).shape[:2])
+        n_track = len(sequence) - 1
+        bucket_T = -(-n_track // self.length_bucket) * self.length_bucket
+        n_objects = len(sequence.obj_ids)
+        n_pad = 1 << (n_objects - 1).bit_length()
+        return (im_size, bucket_T, n_pad)
+
+    def run_dataset(self, dataset, out_path, restart=None, chunk_multiple=1):
+        """Streaming dataset evaluation, memory bounded to one chunk
+        (the reference streams sequence-by-sequence, model/tracker.py:88-99;
+        here the unit is a mesh-sized chunk of sequences).
+
+        Groups sequences by program shape from metadata, then per chunk of
+        `n_devices * chunk_multiple` sequences: decode + init + track + write
+        PNGs + release, before touching the next chunk."""
+        import time
+        from pathlib import Path
+        from ..data.image import imwrite_indexed
+
+        out_path = Path(out_path)
+        groups = defaultdict(list)
+        skipping = restart is not None
+        for sequence in dataset:
+            if skipping:
+                if sequence.name != restart:
+                    continue
+                skipping = False
+            groups[self._group_key_meta(sequence)].append(sequence)
+
+        chunk = max(1, self.n_devices * chunk_multiple)
+        t0 = time.time()
+        n_frames = 0
+        for key, members in groups.items():
+            for lo in range(0, len(members), chunk):
+                batch = members[lo:lo + chunk]
+                preps = [(seq, self._prepare(seq)) for seq in batch]
+                results = self._run_group(preps, key)
+                del preps  # decoded frames/features/init state die here
+                for seq in batch:
+                    dst = out_path / seq.name
+                    dst.mkdir(exist_ok=True, parents=True)
+                    for lb, f in zip(results[seq.name], seq.frame_names):
+                        imwrite_indexed(dst / (f + ".png"), lb)
+                    n_frames += len(seq)
+                    print(f"{seq.name}: {len(seq)} frames written")
+                    if getattr(seq, "preloaded", None) is not None:
+                        seq.preloaded = None  # release decoded frames
+                del results
+        fps = n_frames / max(time.time() - t0, 1e-9)
+        print("Sharded dataset pass: %.2f fps aggregate" % fps)
+        return fps
 
     def _prepare(self, sequence):
         """Host-side per-sequence prep: frames, objects, init solves."""

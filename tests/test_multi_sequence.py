@@ -1,5 +1,8 @@
 """Sharded multi-sequence inference: results must match per-sequence fused
-tracking, across an 8-virtual-device mesh."""
+tracking, across an 8-virtual-device mesh; the streaming run_dataset must
+bound memory to one chunk."""
+import gc
+import weakref
 from dataclasses import replace
 
 import numpy as np
@@ -11,6 +14,17 @@ from frtm_tpu.models import init_resnet, init_seg_network, resnet_out_channels
 from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
 from frtm_tpu.parallel import make_mesh, ShardedSequenceTracker
 from frtm_tpu.data.synthetic import make_moving_square_sequence
+
+
+def _tiny_cfg():
+    cfg = eval_config("resnet18", fast=True, num_aug=2)
+    cfg = replace(cfg, disc=replace(cfg.disc, init_iters=(2,), update_iters=(2,),
+                                    memory_size=4, c_channels=8, train_skipping=2))
+    backbone = init_resnet(jax.random.PRNGKey(1), "resnet18")
+    ch = {L: c for L, c in resnet_out_channels("resnet18").items()
+          if L in cfg.refnet_layers}
+    refiner = init_seg_network(jax.random.PRNGKey(2), ch)
+    return cfg, backbone, refiner
 
 
 @pytest.mark.slow
@@ -69,3 +83,56 @@ def test_sharded_mixed_object_counts():
         want, _ = single.run_sequence(seq)
         for t, (a, b) in enumerate(zip(results[seq.name], want)):
             assert np.mean(a != b) < 0.01, (seq.name, t)
+
+
+class _Token:
+    """Weakref-able marker attached to each prepared chunk."""
+
+
+@pytest.mark.slow
+def test_run_dataset_streams_with_bounded_memory(tmp_path):
+    """A 100+-sequence dataset through the streaming run_dataset: prepared
+    chunks (decoded frames + features + init state) must be RELEASED before
+    later chunks run — at most one chunk's preps alive at any _run_group
+    call — and the written PNGs must match run_sequences' output."""
+    cfg, backbone, refiner = _tiny_cfg()
+    n_seqs = 104
+    seqs = [make_moving_square_sequence(n_frames=3, size=(32, 48), square=12,
+                                        seed=s, name=f"d{s:03d}")
+            for s in range(n_seqs)]
+
+    mesh = make_mesh(8)
+    tracker = ShardedSequenceTracker(cfg, backbone, refiner, mesh,
+                                     extract_chunk=2, length_bucket=4)
+
+    refs, alive_at_call = [], []
+    orig = tracker._run_group
+
+    def spy(seq_preps, key):
+        gc.collect()
+        alive_at_call.append(sum(1 for r in refs if r() is not None))
+        for _, prep in seq_preps:
+            prep["_token"] = _Token()
+            refs.append(weakref.ref(prep["_token"]))
+        return orig(seq_preps, key)
+
+    tracker._run_group = spy
+    out = tmp_path / "out"
+    fps = tracker.run_dataset(seqs, out)
+    assert fps > 0
+
+    chunk = tracker.n_devices  # default chunk_multiple=1
+    assert len(refs) == n_seqs
+    # every _run_group call started with all PREVIOUS chunks released
+    assert max(alive_at_call) == 0, alive_at_call
+
+    # outputs exist for every sequence and match the non-streaming path
+    from frtm_tpu.data.image import imread
+    sample = seqs[0]
+    ref_results = tracker.run_sequences([sample])[sample.name]
+    for t, f in enumerate(sample.frame_names):
+        png = out / sample.name / (f + ".png")
+        assert png.exists()
+        np.testing.assert_array_equal(np.asarray(imread(png)).squeeze(),
+                                      ref_results[t].squeeze())
+    assert sum(1 for _ in out.iterdir()) == n_seqs
