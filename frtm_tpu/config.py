@@ -53,6 +53,11 @@ class TrackerConfig:
     refnet_use_bn: bool = True
     aug_params: dict = field(default_factory=eval_aug_params)
     compute_dtype: str = "float32"  # 'bfloat16' on TPU for the backbone/refiner
+    # Multi-layer target models (legacy stack capability,
+    # /root/reference/ytvos_validation/discriminator.py:104-157): one
+    # discriminator per named layer, score maps concatenated in the decoder.
+    # Empty tuple = single-layer via disc.layer (the shipped configuration).
+    disc_layers: Tuple[str, ...] = ()
 
     def __post_init__(self):
         object.__setattr__(self, "aug_params", dict(self.aug_params))

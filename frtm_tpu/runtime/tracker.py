@@ -82,12 +82,27 @@ class Tracker:
         self.disc_cfg = cfg.disc
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-        layers = tuple(sorted(set(cfg.refnet_layers) | {cfg.disc.layer}, reverse=True))
-        self._all_layers = layers
+        # Multi-layer target models (legacy stack): one discriminator per
+        # layer in cfg.disc_layers; single-layer (the shipped config) otherwise.
+        self._multilayer = len(cfg.disc_layers) > 0
+        if self._multilayer:
+            from dataclasses import replace as _dc_replace
+            from ..models.resnet import resnet_out_channels
+            from ..models.multilayer import ml_init_params
+            ch = resnet_out_channels(cfg.feature_extractor)
+            self._ml_cfgs = {L: _dc_replace(cfg.disc, in_channels=ch[L], layer=L)
+                             for L in cfg.disc_layers}
+            self._disc_layers = tuple(cfg.disc_layers)
+            self._disc_params0 = ml_init_params(jax.random.PRNGKey(0), self._ml_cfgs)
+        else:
+            self._disc_layers = (cfg.disc.layer,)
+            # params0 is fixed (the reference re-creates a torch-default-
+            # initialised Discriminator under manual_seed(0) per object)
+            self._disc_params0 = init_disc_params(jax.random.PRNGKey(0), cfg.disc)
 
-        # params0 is fixed (the reference re-creates a torch-default-initialised
-        # Discriminator under manual_seed(0) per object — same init every time)
-        self._disc_params0 = init_disc_params(jax.random.PRNGKey(0), cfg.disc)
+        layers = tuple(sorted(set(cfg.refnet_layers) | set(self._disc_layers),
+                              reverse=True))
+        self._all_layers = layers
 
         # --- jitted device steps (cached per shape) ---
 
@@ -99,25 +114,50 @@ class Tracker:
         @jax.jit
         def _extract_disc_layer(params, images):
             return extract_features(params, images, self.arch,
-                                    output_layers=[cfg.disc.layer], dtype=self.dtype)
+                                    output_layers=list(self._disc_layers),
+                                    dtype=self.dtype)
 
-        @jax.jit
-        def _init_disc(p0, ft, lb):
-            return disc_init(p0, ft, lb, self.disc_cfg)
+        if self._multilayer:
+            from ..models.multilayer import (
+                ml_disc_init, ml_disc_apply, ml_disc_update,
+            )
 
-        @partial(jax.jit, static_argnums=(3,))
-        def _classify_refine(dparams, refiner, features, im_size):
-            ft = features[cfg.disc.layer]
-            scores, cft = disc_apply(dparams, ft,
-                                     clamp_output=cfg.disc.clamp_output)
-            logits = seg_network_apply(refiner, scores,
-                                       {L: features[L] for L in cfg.refnet_layers},
-                                       im_size, layers=cfg.refnet_layers)
-            return jax.nn.sigmoid(logits[0, :, :, 0]), cft[0]
+            @jax.jit
+            def _init_disc(p0, fts, lb):
+                return ml_disc_init(p0, fts, lb, self._ml_cfgs)
 
-        @jax.jit
-        def _update(dparams, dstate, cft, y):
-            return disc_update(dparams, dstate, cft, y[..., None], self.disc_cfg)
+            @partial(jax.jit, static_argnums=(3,))
+            def _classify_refine(dparams, refiner, features, im_size):
+                fts = {L: features[L] for L in self._disc_layers}
+                scores, cfts = ml_disc_apply(dparams, fts, self._ml_cfgs)
+                logits = seg_network_apply(refiner, scores,
+                                           {L: features[L] for L in cfg.refnet_layers},
+                                           im_size, layers=cfg.refnet_layers)
+                return (jax.nn.sigmoid(logits[0, :, :, 0]),
+                        {L: c[0] for L, c in cfts.items()})
+
+            @jax.jit
+            def _update(dparams, dstate, cfts, y):
+                return ml_disc_update(dparams, dstate, cfts, y[..., None],
+                                      self._ml_cfgs)
+        else:
+            @jax.jit
+            def _init_disc(p0, fts, lb):
+                return disc_init(p0, fts[cfg.disc.layer], lb, self.disc_cfg)
+
+            @partial(jax.jit, static_argnums=(3,))
+            def _classify_refine(dparams, refiner, features, im_size):
+                ft = features[cfg.disc.layer]
+                scores, cft = disc_apply(dparams, ft,
+                                         clamp_output=cfg.disc.clamp_output)
+                logits = seg_network_apply(refiner, scores,
+                                           {L: features[L] for L in cfg.refnet_layers},
+                                           im_size, layers=cfg.refnet_layers)
+                return jax.nn.sigmoid(logits[0, :, :, 0]), cft[0]
+
+            @jax.jit
+            def _update(dparams, dstate, cft, y):
+                return disc_update(dparams, dstate, cft, y[..., None], self.disc_cfg)
 
         self._extract = _extract
         self._extract_disc_layer = _extract_disc_layer
@@ -151,8 +191,7 @@ class Tracker:
             im_aug, lb_aug = self.augmenter.augment_first_frame(
                 image, mask[..., None], rng)
             ft = self._extract_disc_layer(self.backbone, jnp.asarray(im_aug))
-            params, state = self._init_disc(self._disc_params0,
-                                            ft[self.disc_cfg.layer],
+            params, state = self._init_disc(self._disc_params0, ft,
                                             jnp.asarray(lb_aug))
             t = TargetObject(object_id=obj_id, index=len(self.targets) + 1,
                              start_frame=self.current_frame, start_mask=mask,

@@ -2,6 +2,7 @@
 from dataclasses import replace
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -68,3 +69,52 @@ def test_bicubic_upsampler_style(rng):
                           upsampler="bicubic")
     assert a.shape == b.shape == (1, 48, 64, 1)
     assert not np.allclose(np.asarray(a), np.asarray(b))  # genuinely different heads
+
+
+@pytest.mark.slow
+def test_two_layer_tracker_runtime():
+    """A TrackerConfig with disc_layers=('layer4','layer3') runs the host
+    Tracker end-to-end: per-layer target models init/apply/update in
+    lock-step and the decoder consumes the two-map score list (the legacy
+    stack's multi-layer machinery as a product configuration, not just
+    library functions)."""
+    from dataclasses import replace
+    from frtm_tpu.config import eval_config
+    from frtm_tpu.models import init_resnet, init_seg_network, resnet_out_channels
+    from frtm_tpu.runtime.tracker import Tracker
+    from frtm_tpu.data.synthetic import make_moving_square_sequence
+
+    arch = "resnet18"
+    cfg = eval_config(arch, fast=True, num_aug=3)
+    disc = replace(cfg.disc, init_iters=(3, 5), update_iters=(3,), memory_size=8,
+                   c_channels=16, train_skipping=2)
+    cfg = replace(cfg, disc=disc, disc_layers=("layer4", "layer3"))
+    backbone = init_resnet(jax.random.PRNGKey(1), arch)
+    ch = {L: c for L, c in resnet_out_channels(arch).items()
+          if L in cfg.refnet_layers}
+    # the decoder's score input width = number of per-layer score maps
+    refiner = init_seg_network(jax.random.PRNGKey(2), ch,
+                               in_channels=len(cfg.disc_layers),
+                               use_bn=cfg.refnet_use_bn)
+
+    tracker = Tracker(cfg, backbone, refiner)
+    seq = make_moving_square_sequence(n_frames=5, size=(96, 128), square=24, seed=2)
+    outputs, fps = tracker.run_sequence(seq)
+
+    assert len(outputs) == 5 and fps > 0
+    np.testing.assert_array_equal(outputs[0], seq.labels[0].squeeze())
+    for out in outputs:
+        assert out.shape == (96, 128)
+        assert set(np.unique(out)) <= {0, 1}
+
+    t = list(tracker.targets.values())[0]
+    # one target model per configured layer, updated in lock-step
+    assert set(t.params.keys()) == {"layer4", "layer3"}
+    assert set(t.state.keys()) == {"layer4", "layer3"}
+    for L, st in t.state.items():
+        assert int(st.frame_num) == 4, L
+        assert int(st.memory.current_size) >= 3, L
+    # the two layers solve DIFFERENT problems (different feature resolutions)
+    assert t.params["layer4"].filter.shape == t.params["layer3"].filter.shape
+    assert not np.allclose(np.asarray(t.params["layer4"].filter),
+                           np.asarray(t.params["layer3"].filter))
