@@ -194,18 +194,27 @@ class ImageAugmenter:
         mask = (np.asarray(mask).squeeze() > 0).astype(np.uint8)[..., None]
 
         target = mask * image
-        k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (f, f))
-        alpha = cv2.blur(cv2.erode(mask, k) * 255, (f, f))
+        if f == 1:
+            # 1x1 erode and 1x1 blur are identities: alpha is just the mask.
+            # (The reference calls with f=1, augmenter.py:502 — this skips two
+            # full-frame cv2 passes with bit-identical output.)
+            alpha = mask[..., 0] * 255
+        else:
+            k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (f, f))
+            alpha = cv2.blur(cv2.erode(mask, k) * 255, (f, f))
         target = np.concatenate((target, alpha[..., None]), axis=-1)
 
-        mask0 = cv2.erode(mask, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (d, d)))
         mask1 = cv2.dilate(mask, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (d * 2, d * 2)))
         inpainted = cv2.inpaint(image, mask1, inpaintRadius=d, flags=cv2.INPAINT_TELEA)
 
-        m = ((1 - mask0) * mask1)[..., None] if mask0.ndim == 2 else (1 - mask0) * mask1
-        m = (cv2.blur(m.squeeze() * 255, ksize=(d, d))[..., None] / 255.0).astype(np.float32)
-        bim = cv2.blur(inpainted, ksize=(d, d))
-        inpainted = (bim * m + (1.0 - m) * inpainted).astype(np.uint8)
+        if d > 1:
+            mask0 = cv2.erode(mask, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (d, d)))
+            m = ((1 - mask0) * mask1)[..., None] if mask0.ndim == 2 else (1 - mask0) * mask1
+            m = (cv2.blur(m.squeeze() * 255, ksize=(d, d))[..., None] / 255.0).astype(np.float32)
+            bim = cv2.blur(inpainted, ksize=(d, d))
+            inpainted = (bim * m + (1.0 - m) * inpainted).astype(np.uint8)
+        # d == 1: blur(x, (1,1)) is the identity, so bim == inpainted and the
+        # blend bim*m + (1-m)*inpainted == inpainted exactly — skip it all.
         return target.astype(np.float32), inpainted
 
     # -- warp / filter / paste (host cv2 or device XLA backend) -------------
@@ -271,36 +280,45 @@ class ImageAugmenter:
             out = tgt[..., :3] * alpha + image * (1.0 - alpha)
             return np.clip(out, 0, 255), wlabels
 
-        cx, cy, bw, bh = src_bbox
-        khalf = G.shape[0] // 2
-        margin = 3 + khalf  # bicubic support + blur kernel half-width
-        corners = np.array([
-            [cx - bw / 2, cy - bh / 2, 1], [cx + bw / 2, cy - bh / 2, 1],
-            [cx - bw / 2, cy + bh / 2, 1], [cx + bw / 2, cy + bh / 2, 1],
-        ]).T
-        tc = np.asarray(T) @ corners
-        tc = tc[:2] / tc[2]
-        x0 = int(np.floor(tc[0].min())) - margin
-        x1 = int(np.ceil(tc[0].max())) + margin + 1
-        y0 = int(np.floor(tc[1].min())) - margin
-        y1 = int(np.ceil(tc[1].max())) + margin + 1
-        x0, x1 = max(0, x0), min(W, x1)
-        y0, y1 = max(0, y0), min(H, y1)
+        tgt, (y0, y1, x0, x1), lbl = self._paste_bbox(target, labels, T, G,
+                                                      src_bbox, (H, W))
         wlabels = np.zeros(labels.shape[:2] + (1,), np.float32)
-        if x0 >= x1 or y0 >= y1:  # target fully off-frame
+        if tgt is None:  # target fully off-frame
             return image.copy(), wlabels
 
-        Ts = _translate(-x0, -y0) @ np.asarray(T)
-        sub_sz = (y1 - y0, x1 - x0)
-        tgt = np.clip(self._warp_sized(target, Ts, sub_sz, "bicubic"), 0, 255)
-        lbl = self._warp_sized(labels, Ts, sub_sz, "nearest")
-        tgt = self._filter_image(tgt, G)
         alpha = tgt[..., 3:4] / 255.0
         out = image.copy()
         out[y0:y1, x0:x1] = np.clip(
             tgt[..., :3] * alpha + image[y0:y1, x0:x1] * (1.0 - alpha), 0, 255)
         wlabels[y0:y1, x0:x1] = np.atleast_3d(lbl)
         return out, wlabels
+
+    def _paste_bbox(self, target, labels, T, G, src_bbox, im_size):
+        """Warped/blurred target patch restricted to its transformed bbox.
+        Returns (None, box, None) when the target lands fully off-frame, else
+        (RGBA patch f32, (y0, y1, x0, x1), labels patch)."""
+        H, W = im_size
+        cx, cy, bw, bh = src_bbox
+        margin = 3 + G.shape[0] // 2  # bicubic support + blur half-width
+        corners = np.array([
+            [cx - bw / 2, cy - bh / 2, 1], [cx + bw / 2, cy - bh / 2, 1],
+            [cx - bw / 2, cy + bh / 2, 1], [cx + bw / 2, cy + bh / 2, 1],
+        ]).T
+        tc = np.asarray(T) @ corners
+        tc = tc[:2] / tc[2]
+        x0 = max(0, int(np.floor(tc[0].min())) - margin)
+        x1 = min(W, int(np.ceil(tc[0].max())) + margin + 1)
+        y0 = max(0, int(np.floor(tc[1].min())) - margin)
+        y1 = min(H, int(np.ceil(tc[1].max())) + margin + 1)
+        if x0 >= x1 or y0 >= y1:
+            return None, (y0, y1, x0, x1), None
+
+        Ts = _translate(-x0, -y0) @ np.asarray(T)
+        sub_sz = (y1 - y0, x1 - x0)
+        tgt = np.clip(self._warp_sized(target, Ts, sub_sz, "bicubic"), 0, 255)
+        lbl = self._warp_sized(labels, Ts, sub_sz, "nearest")
+        tgt = self._filter_image(tgt, G)
+        return tgt, (y0, y1, x0, x1), lbl
 
     # -- verification -------------------------------------------------------
 
@@ -345,10 +363,57 @@ class ImageAugmenter:
         fg_sel["location"] = self.generate_target_locations(p["num_aug"], im_sz, rng)
         bg_sel = p.get("bg_aug_params")
 
-        N = p["num_aug"] - 1
-        aug_images, aug_labels = [], []
+        # Output batch buffers, REUSED across calls (cached per shape): fresh
+        # multi-MB allocations page-fault on every call on this host, and the
+        # copy-into-stack pattern was a measured hot spot. Consumers upload
+        # the batch to the device before the next augment call (tracker /
+        # trainer call order), so reuse is safe; the buffers are overwritten
+        # by the next call to this method.
+        K = p["num_aug"]
+        H, W = im_sz
+        key = (K, H, W)
+        if getattr(self, "_buf_key", None) != key:
+            self._buf_key = key
+            self._buf_im = np.empty((K, H, W, 3), np.uint8)
+            self._buf_lb = np.empty((K, H, W, 1), np.uint8)
+        buf_im, buf_lb = self._buf_im, self._buf_lb
+        buf_im[0] = image
+        buf_lb[0] = mask
+
+        # Background warps/blurs are fully deterministic per spec (no rng
+        # inside), and the spec lists draw from small value sets — memoise
+        # per spec tuple so repeated (scale, blur) combinations reuse one
+        # full-frame warp+filter (f32 for compositing, uint8 for the buffer).
+        bg_cache = {}
+
+        inpainted3 = np.atleast_3d(inpainted)
+
+        def bg_for(bg_spec):
+            """(f32 background or None-for-untouched-uint8, uint8 background).
+            A no-op spec (identity transform, no blur) returns the inpainted
+            frame itself with NO full-frame conversions; the paste converts
+            just its bbox slice."""
+            if bg_spec is None:
+                return None, inpainted3
+            bgkey = (tuple(bg_spec.location), bg_spec.rotation,
+                     bg_spec.fliplr, bg_spec.scale, tuple(bg_spec.skew),
+                     bg_spec.blur_size, bg_spec.blur_angle)
+            hit = bg_cache.get(bgkey)
+            if hit is None:
+                T, G = self.get_transform(bg_spec, (W / 2, H / 2, W, H),
+                                          im_sz, limit_scale=False)
+                if np.allclose(T, np.eye(3), atol=1e-12) and G.shape == (1, 1):
+                    hit = (None, inpainted3)
+                else:
+                    f32 = self.warp_and_filter_image(inpainted, T, G)
+                    hit = (f32, f32.astype(np.uint8))
+                bg_cache[bgkey] = hit
+            return hit
+
+        N = K - 1
+        n_good = 0
         retries = -1
-        while len(aug_images) < N:
+        while n_good < N:
             retries += 1
             if retries > self.max_retries:
                 raise RuntimeError(
@@ -363,29 +428,30 @@ class ImageAugmenter:
             # parameter lists), so evaluating lazily and stopping at the first
             # N good frames draws from the same distribution at ~N/19 the cost.
             for fg_spec, bg_spec in zip(fg_specs, bg_specs):
-                if len(aug_images) >= N:
+                if n_good >= N:
                     break
-                if bg_spec is not None:
-                    h, w = im_sz
-                    T, G = self.get_transform(bg_spec, (w / 2, h / 2, w, h), im_sz,
-                                              limit_scale=False)
-                    wimage = self.warp_and_filter_image(inpainted, T, G)
-                else:
-                    wimage = np.asarray(inpainted, np.float32)
+                bg_f32, bg_u8 = bg_for(bg_spec)
                 T, G = self.get_transform(fg_spec, tg_bbox, im_sz)
-                wimage, wlabels = self.warp_filter_and_paste(wimage, target, mask,
-                                                             T, G, src_bbox=tg_bbox)
-                wlabels_np = np.asarray(wlabels)
-                if self.verify_frame([1], wlabels_np, no_background):
-                    aug_images.append(np.asarray(wimage))
-                    aug_labels.append(wlabels_np)
+                tgt, (y0, y1, x0, x1), lbl = self._paste_bbox(
+                    target, mask, T, G, src_bbox=tg_bbox, im_size=im_sz)
+
+                # write the candidate into the next slot; rejects get
+                # overwritten by the following candidate
+                k = n_good + 1
+                buf_lb[k] = 0
+                if tgt is not None:
+                    buf_lb[k, y0:y1, x0:x1] = np.atleast_3d(lbl).astype(np.uint8)
+                if not self.verify_frame([1], buf_lb[k], no_background):
+                    continue
+                buf_im[k] = bg_u8
+                if tgt is not None:
+                    alpha = tgt[..., 3:4] / 255.0
+                    bg_region = (bg_u8 if bg_f32 is None else
+                                 bg_f32)[y0:y1, x0:x1].astype(np.float32, copy=False)
+                    buf_im[k, y0:y1, x0:x1] = np.clip(
+                        tgt[..., :3] * alpha + bg_region * (1.0 - alpha), 0, 255)
+                n_good += 1
 
         # pasted images become bytes like the reference's .byte() cast
-        # (warp_filter_and_paste, augmenter.py:402); labels are exact 0/1.
-        # convert per-item BEFORE stacking: a mixed uint8/float32 stack would
-        # promote to float64 (a 50 MB temp at DAVIS scale on a slow host core)
-        images = np.stack([np.asarray(image, np.uint8)]
-                          + [im.astype(np.uint8) for im in aug_images])
-        labels = np.stack([np.asarray(mask, np.uint8)]
-                          + [lb.astype(np.uint8) for lb in aug_labels])
-        return images, labels
+        # (warp_filter_and_paste, augmenter.py:402); labels are exact 0/1
+        return buf_im, buf_lb

@@ -316,6 +316,14 @@ class BatchedSequenceTracker:
         if T == 1:  # nothing to track: the output is the start labels
             return [self._frame0_label(objects, im_size)]
 
+        # dispatch the whole-sequence extraction FIRST: it's async, so the
+        # device chews the backbone pyramid (~1.2 ms/frame) while the host
+        # runs cv2 augmentation below. (Re-measured in round 2 after the
+        # augmenter got 2-3x faster: now a clear win; round 1 measured it as
+        # a loss when augment dominated and its dispatch contended longer.)
+        with timer.phase("extract"):
+            feats_all = self._extract_sequence(images_np[1:], chunks=chunks)
+
         # per-object init (augment once per object, GN-CG on device); the
         # device augmenter consumes the pre-uploaded frame and returns device
         # arrays — no augmented-batch upload inside the timed region
@@ -341,12 +349,6 @@ class BatchedSequenceTracker:
                                        ft[self.disc_cfg.layer], lb_in)
             params_list.append(p)
             states_list.append(s)
-
-        # batched frame extraction dispatched after the host-side augment:
-        # on a single-core host, device dispatch threads contend with cv2,
-        # so overlapping them costs more host time than it hides device time
-        with timer.phase("extract"):
-            feats_all = self._extract_sequence(images_np[1:], chunks=chunks)
 
         disc_params = jax.tree.map(lambda *x: jnp.stack(x), *params_list)
         disc_states = jax.tree.map(lambda *x: jnp.stack(x), *states_list)
