@@ -18,6 +18,7 @@ def _feats(rng, K, layer_shapes):
             for L, (h, w, c) in layer_shapes.items()}
 
 
+@pytest.mark.slow
 def test_two_layer_models_and_decoder(rng):
     K, H, W = 3, 48, 64
     shapes = {"layer4": (6, 8, 16), "layer3": (12, 16, 8)}

@@ -124,6 +124,7 @@ def test_extractor_matches_torch_mirror(rng, arch, block, depths):
         np.testing.assert_allclose(got, ref, atol=2e-3, rtol=0, err_msg=L)
 
 
+@pytest.mark.slow
 def test_pyramid_shapes_and_channels():
     for arch in ["resnet18", "resnet101"]:
         params = init_resnet(jax.random.PRNGKey(0), arch)

@@ -111,6 +111,7 @@ def test_state_dict_conversion_and_forward(rng):
     assert bool(jnp.isfinite(logits).all())
 
 
+@pytest.mark.slow
 def test_init_forward_shapes():
     params = init_seg_network(jax.random.PRNGKey(0), FT)
     feats = {L: jnp.zeros((2, 64 // (2 ** (5 - int(L[-1]))), 96 // (2 ** (5 - int(L[-1]))), c))

@@ -94,6 +94,7 @@ def test_scan_tracker_deferred_merge_runs():
     assert all(o.shape == (96, 128) for o in outs)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_runs():
     import __graft_entry__ as g
     # dryrun exercises the 8-device mesh end-to-end (conftest fakes 8 CPU devices)
@@ -119,6 +120,7 @@ def test_dryrun_multichip_under_driver_conditions():
     assert "dryrun_multichip(8): ok" in proc.stdout
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     """Run make_sharded_train_step on an 8-device CPU mesh AND the plain
     single-program jit step on identical inputs; the GRADIENTS must agree

@@ -4,6 +4,7 @@ identity, not an approximation."""
 from dataclasses import replace
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -59,6 +60,7 @@ def _toy(rng, K=4, Cin=12, H=40, W=56, h=10, w=14):
     return jnp.asarray(feats), jnp.asarray(masks)
 
 
+@pytest.mark.slow
 def test_solvers_agree_on_disc_init(rng):
     feats, masks = _toy(rng)
     base = DiscConfig(in_channels=12, c_channels=6, init_iters=(3, 4),
