@@ -71,8 +71,17 @@ def _kernel(x_ref, even_ref, odd_ref, *, th):
         [i01[1:th + 1, 0:W], i00[1:th + 1, 1:W + 1]], axis=2).reshape(th, 2 * W, c)[None]
 
 
-def pyr_up_bicubic_pallas(x: jnp.ndarray, row_block: int = 30) -> jnp.ndarray:
-    """(N, H, W, C) -> (N, 2H, 2W, C), fused on TPU."""
+def pyr_up_bicubic_pallas(x: jnp.ndarray, row_block: int = 8) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, 2H, 2W, C), fused on TPU.
+
+    row_block=8 keeps the kernel's scoped VMEM under the 16 MB limit at
+    decoder shapes (row_block=30 OOMs: ~50 MB scoped; measured on v5e,
+    round 2). At (1,120,214,32) f32 the compiled kernel is bit-exact vs the
+    XLA formulation and measures 1.24 ms vs XLA's 0.75 ms standalone — and
+    inside the tracker's scan XLA fuses the slice-sum formulation into the
+    surrounding ops (~4 ms total for 128 pyrups of a 64-frame pass), so the
+    XLA path stays the production default. This kernel remains for
+    toolchains/shapes where the fusion doesn't materialise."""
     N, H, W, C = x.shape
     th = min(row_block, H)
     while H % th:

@@ -36,6 +36,10 @@ def _load():
                                         ctypes.c_int, f64p, f32p, ctypes.c_int,
                                         ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.warp_affine_f32.restype = ctypes.c_int
+        lib.filter2d_f32.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, f32p, ctypes.c_int,
+                                     ctypes.c_int, f32p]
+        lib.filter2d_f32.restype = ctypes.c_int
         lib.jpeg_dims.argtypes = [u8p, ctypes.c_long,
                                   ctypes.POINTER(ctypes.c_int),
                                   ctypes.POINTER(ctypes.c_int)]
@@ -87,6 +91,23 @@ def warp_affine(src: np.ndarray, H: np.ndarray, size, mode="bicubic",
                              WARP_MODES[mode], n_threads)
     if rc != 0:
         raise RuntimeError(f"warp_affine_f32 failed: {rc}")
+    return out
+
+
+def filter2d(src: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """cv2.filter2D-equivalent correlation (center anchor, zero padding) on
+    (H, W, C) float32."""
+    lib = _load()
+    assert lib is not None
+    src = np.ascontiguousarray(np.atleast_3d(src), np.float32)
+    kernel = np.ascontiguousarray(kernel, np.float32)
+    out = np.empty_like(src)
+    rc = lib.filter2d_f32(_fp(src, ctypes.c_float), src.shape[0], src.shape[1],
+                          src.shape[2], _fp(kernel, ctypes.c_float),
+                          kernel.shape[0], kernel.shape[1],
+                          _fp(out, ctypes.c_float))
+    if rc != 0:
+        raise RuntimeError(f"filter2d_f32 failed: {rc}")
     return out
 
 
