@@ -73,6 +73,29 @@ def test_augmenter_native_backend_matches_cv2(rng):
         outs[backend] = (ims, lbs)
     a, b = outs["native"], outs["cv2"]
     assert a[0].shape == b[0].shape
-    # same specs (same rng), near-identical pixels
-    assert np.percentile(np.abs(a[0] - b[0]), 99) < 2.0
+    # same specs (same rng), near-identical pixels (int cast: uint8 wraps)
+    diff = np.abs(a[0].astype(np.int16) - b[0].astype(np.int16))
+    assert np.percentile(diff, 99) < 2.0
     assert np.mean(a[1] != b[1]) < 0.02
+
+
+def test_native_filter2d_matches_cv2(rng):
+    import cv2
+    from frtm_tpu.utils import native
+    from frtm_tpu.models.augmenter import blur_kernel, _rotate
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    img = (rng.rand(60, 90, 3) * 255).astype(np.float32)
+    for size, ang in [(5.0, 45), (5.0, 0), (2.0, 135)]:
+        G = blur_kernel(size, 0.1, _rotate(np.deg2rad(ang))[:2, :2])
+        want = cv2.filter2D(img, -1, G, borderType=cv2.BORDER_CONSTANT)
+        got = native.filter2d(img, G)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+    # edge zero-padding semantics: an impulse at the corner
+    imp = np.zeros((8, 8, 1), np.float32)
+    imp[0, 0] = 1.0
+    G = np.arange(9, dtype=np.float32).reshape(3, 3) + 1
+    want = cv2.filter2D(imp, -1, G, borderType=cv2.BORDER_CONSTANT)
+    np.testing.assert_allclose(native.filter2d(imp, G).squeeze(),
+                               np.asarray(want).squeeze(), atol=0)
