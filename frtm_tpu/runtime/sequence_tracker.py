@@ -299,11 +299,19 @@ class BatchedSequenceTracker:
         # sequence.preload(device) precedes the timed loop,
         # model/tracker.py:88-91,130)
         t0 = time.time()
-        outputs = self._run(images_np, sequence, timer=timer, chunks=chunks)
-        jax.block_until_ready(outputs[-1])
+        result = self._run(images_np, sequence, timer=timer, chunks=chunks)
+        jax.block_until_ready(result)
         fps = len(sequence) / max(time.time() - t0, 1e-9)
         self.last_phase_report = timer.report()
-        return [np.asarray(o).astype(np.uint8) for o in outputs], fps
+        # downloads happen AFTER the clock (the reference also excludes file
+        # output from its fps window, model/tracker.py:159-161). _run returns
+        # stacked device arrays — per-frame slicing here is a host-side numpy
+        # view, not 64 separate device dispatches through the tunnel.
+        outputs = []
+        for arr in result:
+            a = np.asarray(arr).astype(np.uint8)
+            outputs.extend(list(a) if a.ndim == 3 else [a])
+        return outputs, fps
 
     def _run(self, images_np, sequence, timer=None, chunks=None):
         from ..utils.profiling import PhaseTimer
@@ -314,30 +322,41 @@ class BatchedSequenceTracker:
         if not objects:
             raise ValueError("sequence has no objects")
         if T == 1:  # nothing to track: the output is the start labels
-            return [self._frame0_label(objects, im_size)]
+            return (self._frame0_label(objects, im_size),)
 
-        # dispatch the whole-sequence extraction FIRST: it's async, so the
-        # device chews the backbone pyramid (~1.2 ms/frame) while the host
-        # runs cv2 augmentation below. (Re-measured in round 2 after the
-        # augmenter got 2-3x faster: now a clear win; round 1 measured it as
-        # a loss when augment dominated and its dispatch contended longer.)
+        # host augmentation runs FIRST, before any device work is dispatched:
+        # on this 1-core host the tunnel/dispatch threads servicing in-flight
+        # device programs starve the cv2 augment thread (measured: ~40 ms
+        # standalone vs 109-447 ms when overlapped with extraction — the
+        # round-2 "overlap win" inverted once the augmenter itself got fast).
+        # The device augmenter is the exception: it IS device work, so it
+        # still interleaves with extraction below.
+        aug_batches = []
+        if self.augment_backend != "device":
+            for obj_id, start_idx, mask, image in objects:
+                rng = np.random.RandomState(0)
+                with timer.phase("augment"):
+                    aug_batches.append(self.augmenter.augment_first_frame(
+                        image, mask[..., None], rng))
+
+        # whole-sequence extraction dispatch is async: the device chews the
+        # backbone pyramid (~1.2 ms/frame) while the host stacks init inputs
         with timer.phase("extract"):
             feats_all = self._extract_sequence(images_np[1:], chunks=chunks)
 
-        # per-object init (augment once per object, GN-CG on device); the
-        # device augmenter consumes the pre-uploaded frame and returns device
-        # arrays — no augmented-batch upload inside the timed region
+        # per-object init (GN-CG on device); the device augmenter consumes
+        # the pre-uploaded frame and returns device arrays — no
+        # augmented-batch upload inside the timed region
         params_list, states_list = [], []
-        for obj_id, start_idx, mask, image in objects:
-            rng = np.random.RandomState(0)
-            with timer.phase("augment"):
-                if self.augment_backend == "device":
+        for k, (obj_id, start_idx, mask, image) in enumerate(objects):
+            if self.augment_backend == "device":
+                rng = np.random.RandomState(0)
+                with timer.phase("augment"):
                     im_aug, lb_aug = self.augmenter.augment_first_frame(
                         image, mask[..., None], rng,
                         image_dev=self._frame_dev(start_idx, images_np, chunks))
-                else:
-                    im_aug, lb_aug = self.augmenter.augment_first_frame(
-                        image, mask[..., None], rng)
+            else:
+                im_aug, lb_aug = aug_batches[k]
             with timer.phase("disc_init"):
                 if isinstance(im_aug, jnp.ndarray):
                     ft_in, lb_in = im_aug, lb_aug
@@ -372,7 +391,7 @@ class BatchedSequenceTracker:
 
         frame0_label = self._frame0_label(objects, im_size)
         if self.merge_mode == "online":
-            return [frame0_label] + [outs[t] for t in range(n_track)]
+            return (frame0_label, outs[:n_track])
 
         # deferred: assemble the whole soft volume, insert GT at start frames,
         # merge once (legacy ytvos_validation/tracker.py:107-116)
@@ -383,7 +402,7 @@ class BatchedSequenceTracker:
                 fg = fg.at[start_idx, k].set(jnp.asarray(mask))
             labels = self._merge_volume(fg, lut)
             labels.block_until_ready()
-        return [labels[t] for t in range(T)]
+        return (labels[:T],)
 
     def run_dataset(self, dataset, out_path, speedrun=False, restart=None):
         """Track every sequence, write indexed PNGs, report average FPS —

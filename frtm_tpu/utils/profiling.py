@@ -15,26 +15,30 @@ class PhaseTimer:
 
     def __init__(self, sync: bool = True):
         self.totals = defaultdict(float)
+        self.cpu_totals = defaultdict(float)
         self.counts = defaultdict(int)
         self.sync = sync
 
     @contextmanager
     def phase(self, name, fence=None):
         t0 = time.perf_counter()
+        c0 = time.thread_time()
         try:
             yield
         finally:
             if fence is not None and self.sync:
                 jax.block_until_ready(fence)
-            dt = time.perf_counter() - t0
-            self.totals[name] += dt
+            self.cpu_totals[name] += time.thread_time() - c0
+            self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
     def report(self):
         lines = []
         for name in sorted(self.totals, key=self.totals.get, reverse=True):
             t, n = self.totals[name], self.counts[name]
-            lines.append(f"{name}: {t:.3f}s total, {t / n * 1000:.1f}ms/call x{n}")
+            c = self.cpu_totals[name]
+            lines.append(f"{name}: {t:.3f}s total, {t / n * 1000:.1f}ms/call x{n}"
+                         f" (cpu {c / n * 1000:.1f}ms/call)")
         return "\n".join(lines)
 
     def reset(self):
