@@ -53,7 +53,13 @@ def merge_volume(fg, obj_ids_lut):
     bg = jnp.min(1.0 - fg, axis=1, keepdims=True)
     p = jnp.concatenate([bg, fg], axis=1)
     segs = jax.nn.softmax(p / (1.0 - p), axis=1)
-    return obj_ids_lut[jnp.argmax(segs, axis=1)].astype(jnp.uint8)
+    idx = jnp.argmax(segs, axis=1)
+    # one-hot contraction instead of lut[idx]: pixel gathers are a measured
+    # TPU anti-pattern (see masks_to_labels)
+    onehot = jax.nn.one_hot(idx, obj_ids_lut.shape[0], axis=1,
+                            dtype=jnp.float32)
+    return jnp.einsum("k,tk...->t...", obj_ids_lut.astype(jnp.float32),
+                      onehot).astype(jnp.uint8)
 
 
 class BatchedSequenceTracker:
@@ -108,7 +114,9 @@ class BatchedSequenceTracker:
         # (input donation was tried for the pyramid: XLA cannot alias it into
         # the label outputs, so it only produced warnings — buffers free after
         # last use regardless)
-        self._scan_track = jax.jit(self._make_scan(), static_argnames=("im_size",))
+        scan_fn, window_fn = self._make_scan()
+        self._scan_track = jax.jit(scan_fn, static_argnames=("im_size",))
+        self._window_track = jax.jit(window_fn, static_argnames=("im_size",))
         self._merge_volume = jax.jit(merge_volume)
 
     # ------------------------------------------------------------------
@@ -230,7 +238,120 @@ class BatchedSequenceTracker:
                 (feats_all, compressed_all))
             return outs, params, states
 
-        return scan_track
+        W = max(int(disc_cfg.train_skipping), 1)
+
+        def window_track(refiner, feats_all, disc_params, disc_states,
+                         start_frames, start_masks, obj_ids_lut, im_size):
+            """Windowed variant of scan_track: between filter re-solves the
+            discriminator weights are constant, so the classify -> decode ->
+            merge chain for a whole train_skipping window is frame-parallel
+            (the only sequential state inside a window is the memory insert,
+            a few KB of scatter work). Bit-identical to the per-frame scan
+            whenever every object's start frame is ≡ 0 (mod train_skipping):
+            re-solves then fire exactly at window boundaries, as in the
+            reference schedule (model/discriminator.py:221-227). The host
+            picks this program for aligned sequences (all of DAVIS; the
+            per-frame scan remains the general path)."""
+            N = disc_params.project.shape[0]
+            refiner_c = jax.tree.map(
+                lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating)
+                else a, refiner)
+            compressed_all = jnp.einsum(
+                "thwc,ncd->tnhwd", feats_all[disc_cfg.layer].astype(jnp.float32),
+                disc_params.project[:, 0, 0])
+            T = compressed_all.shape[0]
+            nw = T // W
+            feats_w = {L: v.reshape((nw, W) + v.shape[1:])
+                       for L, v in feats_all.items()}
+            comp_w = compressed_all.reshape((nw, W) + compressed_all.shape[1:])
+
+            def insert2(state, c, ty, e, act):
+                label, pw = online_update_weights(ty, disc_cfg)
+                mem = memory_update(state.memory, c, label, pw,
+                                    disc_cfg.learning_rate, enabled=e)
+                return state._replace(
+                    memory=mem,
+                    frame_num=state.frame_num + act.astype(jnp.int32))
+
+            def window_step(carry, xs):
+                params, states, t = carry
+                feats_t, cft = xs                   # {L:(W,h,w,c)}, (W,N,h,w,d)
+                tw = t + 1 + jnp.arange(W, dtype=jnp.int32)        # (W,)
+                active = tw[:, None] > start_frames[None, :]       # (W, N)
+                fresh = tw[:, None] == start_frames[None, :]
+
+                # one batched classify+decode for the whole window: conv batch
+                # W*N instead of N fills the MXU far better at these channel
+                # counts and amortises per-op overhead 8x
+                scores = jax.vmap(lambda c, p: conv2d(c, p.filter),
+                                  in_axes=(1, 0), out_axes=1)(cft, params)
+                if disc_cfg.clamp_output:
+                    scores = jnp.clip(scores, -0.1, 1.2)
+                featsWN = {L: jnp.broadcast_to(
+                    f[:, None].astype(dtype), (W, N) + f.shape[1:])
+                    .reshape((W * N,) + f.shape[1:]) for L, f in feats_t.items()}
+                sflat = scores.reshape((W * N,) + scores.shape[2:])
+                logits = seg_network_apply(refiner_c, sflat.astype(dtype),
+                                           featsWN, im_size, layers=layers)
+                y = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
+                y = y.reshape((W, N) + y.shape[1:])                # (W,N,H,W)
+                y = y * active[..., None, None]
+                sup = jnp.prod(1.0 - start_masks[None] * fresh[..., None, None],
+                               axis=1)                             # (W, H, W)
+                y = y * sup[:, None]
+                if online:
+                    rows = jnp.where(fresh[..., None, None], start_masks[None], y)
+                else:
+                    rows = y
+                masks = jnp.concatenate(
+                    [jnp.zeros((W, 1) + rows.shape[2:], rows.dtype), rows],
+                    axis=1)
+                merged = jax.vmap(merge_soft_masks)(masks)         # (W,N+1,H,W)
+                out = (jax.vmap(lambda m: masks_to_labels(m, obj_ids_lut))(merged)
+                       .astype(jnp.uint8) if online else rows)
+
+                if not disc_cfg.update_filters:
+                    states = states._replace(
+                        frame_num=states.frame_num
+                        + active.astype(jnp.int32).sum(axis=0))
+                    return (params, states, t + W), out
+
+                train_y = merged[:, 1:][..., None]                 # (W,N,H,W,1)
+                enough = ((train_y > 0.5).sum(axis=(2, 3, 4)) >= 10) & active
+
+                def ins_step(st, xw):
+                    c_t, ty_t, e_t, a_t = xw
+                    return jax.vmap(insert2)(st, c_t, ty_t, e_t, a_t), None
+
+                states, _ = lax.scan(ins_step, states,
+                                     (cft, train_y, enough, active))
+
+                due = active[-1] & (states.frame_num % disc_cfg.train_skipping
+                                    == 0) & enough[-1]
+
+                def resolve(args):
+                    params, cg = args
+                    new_p, new_cg = jax.vmap(
+                        lambda p, s: filter_resolve(p, s, disc_cfg))(
+                        params, states)
+                    sel = lambda a, b: jnp.where(
+                        due.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+                    return jax.tree.map(sel, new_p, params), \
+                        jax.tree.map(sel, new_cg, cg)
+
+                params, cg = lax.cond(jnp.any(due), resolve, lambda a: a,
+                                      (params, states.cg))
+                states = states._replace(cg=cg)
+                return (params, states, t + W), out
+
+            (params, states, _), outs = lax.scan(
+                window_step,
+                (disc_params, disc_states, jnp.zeros((), jnp.int32)),
+                (feats_w, comp_w))
+            outs = outs.reshape((nw * W,) + outs.shape[2:])
+            return outs, params, states
+
+        return scan_track, window_track
 
     # ------------------------------------------------------------------
 
@@ -383,8 +504,16 @@ class BatchedSequenceTracker:
                 [v, jnp.repeat(v[-1:], pad, axis=0)]) for L, v in feats_all.items()}
 
         lut = jnp.asarray([0] + obj_ids, jnp.int32)
+        # windowed program when re-solves provably align to window boundaries
+        # (every start frame ≡ 0 mod train_skipping, or no online updates at
+        # all): bit-identical math, frame-parallel decode inside each window
+        W = max(int(self.disc_cfg.train_skipping), 1)
+        aligned = (bucket % W == 0) and (
+            not self.disc_cfg.update_filters
+            or all(o[1] % W == 0 for o in objects))
+        track = self._window_track if aligned else self._scan_track
         with timer.phase("scan"):
-            outs, _, _ = self._scan_track(
+            outs, _, _ = track(
                 self.refiner, feats_all, disc_params, disc_states,
                 start_frames, start_masks, lut, im_size=im_size)
             outs.block_until_ready()

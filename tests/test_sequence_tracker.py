@@ -81,6 +81,29 @@ def test_scan_tracker_mid_sequence_entry_matches_host_loop():
 
 
 @pytest.mark.slow
+def test_windowed_scan_matches_per_frame_scan():
+    """The windowed program (frame-parallel decode inside each train_skipping
+    window) must reproduce the per-frame scan exactly — including an object
+    entering mid-sequence at an aligned start frame (start ≡ 0 mod W)."""
+    seq = make_moving_square_sequence(n_frames=7, size=(96, 128), square=22,
+                                      n_objects=2, seed=4)
+    seq.start_frames = {"00000": [1], "00002": [2]}  # start 2 ≡ 0 (mod 2)
+    cfg, backbone, refiner = _cfg_and_weights()  # train_skipping=2
+
+    windowed = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4)
+    out_w, _ = windowed.run_sequence(seq)
+
+    perframe = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4)
+    perframe._window_track = perframe._scan_track  # force the general program
+    out_f, _ = perframe.run_sequence(seq)
+
+    assert len(out_w) == len(out_f) == 7
+    for t, (a, b) in enumerate(zip(out_w, out_f)):
+        frac_diff = np.mean(a != b)
+        assert frac_diff < 0.005, (t, frac_diff)
+
+
+@pytest.mark.slow
 def test_scan_tracker_deferred_merge_runs():
     """Legacy YTVOS semantics: whole-sequence post-merge with GT insertion."""
     seq = make_moving_square_sequence(n_frames=5, size=(96, 128), square=24, seed=2)
