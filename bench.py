@@ -55,14 +55,19 @@ def main():
     # passes. Median-of-5 is the stable figure; best is also reported because
     # host/tunnel scheduling noise (not the workload) dominates run-to-run
     # variance in this environment and only deflates, never inflates, a pass.
+    import re
     import statistics
     tracker.run_sequence(seq, speedrun=True)
-    passes = []
-    for i in range(1, 6):
+    passes, scan_ms, augment_ms = [], [], []
+    for i in range(1, 8):
         _, fps_i = tracker.run_sequence(seq)
         print(f"pass {i}: {fps_i:.1f} fps\n" + tracker.last_phase_report,
               file=sys.stderr)
         passes.append(fps_i)
+        for phase, acc in (("scan", scan_ms), ("augment", augment_ms)):
+            m = re.search(rf"{phase}: \S+s total, ([\d.]+)ms", tracker.last_phase_report)
+            if m:
+                acc.append(float(m.group(1)))
     fps = max(passes)
     med = statistics.median(passes)
 
@@ -84,9 +89,15 @@ def main():
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / REFERENCE_FPS, 3),
-        "median_of_5": round(med, 3),
+        "median_of_7": round(med, 3),
         "spread_pct": round(100 * (max(passes) - min(passes)) / med, 1),
         "fps_2obj_median": round(statistics.median(passes2), 3),
+        # device work is stable; the spread is the 1-core host's augmentation
+        # phase slowing 2-10x under exogenous load (wall == thread-CPU, same
+        # ops, measured in CLAUDE.md round 2) — hence median + best reporting
+        "scan_ms_median": round(statistics.median(scan_ms), 1) if scan_ms else None,
+        "augment_ms_range": ([round(min(augment_ms), 1), round(max(augment_ms), 1)]
+                             if augment_ms else None),
     }))
 
 

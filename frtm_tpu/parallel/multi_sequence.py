@@ -38,7 +38,10 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         n_dev = int(np.prod(list(mesh.shape.values())))
         self.n_devices = n_dev
 
-        self._raw_vscan = jax.vmap(self._make_scan(),
+        # the general per-frame program: batched sequences have arbitrary
+        # start-frame phases, so the aligned-only windowed variant is unsafe
+        scan_fn, _ = self._make_scan()
+        self._raw_vscan = jax.vmap(scan_fn,
                                    in_axes=(None, 0, 0, 0, 0, 0, 0, None))
         self._seq_sh = NamedSharding(mesh, P("data"))
         self._repl = NamedSharding(mesh, P())
