@@ -199,7 +199,9 @@ def disc_init(params: DiscParams, features, labels, cfg: DiscConfig):
     mem1 = memory_init(K, features, labels, pw)
 
     def joint_net(theta, x):
-        return conv2d(conv2d(x, theta[0]), theta[1])
+        # tapsum=False: the solver's conv numerics stay lowering-independent
+        # (CG trajectories are pinned against reference mirrors)
+        return conv2d(conv2d(x, theta[0]), theta[1], tapsum=False)
 
     theta = (params.project, params.filter)
     theta, _ = _solve(mem1, cfg.filter_reg, cfg.precond, joint_net, theta,
@@ -211,7 +213,7 @@ def disc_init(params: DiscParams, features, labels, cfg: DiscConfig):
     mem2 = memory_init(cfg.memory_size, compressed, labels, pw)
 
     def filter_net(theta, x):
-        return conv2d(x, theta[0])
+        return conv2d(x, theta[0], tapsum=False)
 
     theta_f = (params.filter,)
     theta_f, cg = _solve(mem2, cfg.filter_reg[1:], cfg.precond[1:], filter_net,
@@ -228,7 +230,7 @@ def disc_apply(params: DiscParams, ft, clamp_output: bool = False):
     (reference discriminator.py:201-206 caches it as `current_sample`).
     clamp_output bounds scores to (-0.1, 1.2) (legacy stack option)."""
     cft = conv2d(ft, params.project)
-    scores = conv2d(cft, params.filter)
+    scores = conv2d(cft, params.filter, tapsum=False)
     if clamp_output:
         scores = jnp.clip(scores, -0.1, 1.2)
     return scores, cft
@@ -267,7 +269,7 @@ def filter_resolve(params: DiscParams, state: DiscState, cfg: DiscConfig) -> Tup
     """Re-run the filter-only GN-CG solve on the current memory, warm-started
     from the carried CG state (reference discriminator.py:221-227)."""
     def filter_net(theta, x):
-        return conv2d(x, theta[0])
+        return conv2d(x, theta[0], tapsum=False)
 
     score_hw = state.memory.samples.shape[1:3]
     theta_f, cg = _solve(state.memory, cfg.filter_reg[1:], cfg.precond[1:],

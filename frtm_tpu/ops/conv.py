@@ -7,15 +7,99 @@ TPU-first choices:
     semantics exactly — XLA 'SAME' pads asymmetrically for stride>1 which would
     break parity with the reference backbones.
 """
+from functools import lru_cache
+
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
+# Below this channel count a stride-1 3x3 conv runs as 9 shifted-slice matmuls
+# instead of one conv op: with <=48 in/out channels the conv's 128x128 MXU
+# tiles are mostly padding, and the tap-sum form measures 1.8x faster on v5e
+# (33ch @ 8x120x214: 132 us vs 243 us; see CLAUDE.md perf log). The decoder's
+# 16-33 channel convs take this path; backbone/solver convs (>=64ch) keep the
+# native conv lowering, which wins once the contraction fills the MXU.
+_TAPSUM_MAX_CH = 48
 
-def conv2d(x, w, b=None, stride: int = 1, dilation: int = 1, precision=None):
-    """2-D convolution. x: (N,H,W,Cin), w: (kh,kw,Cin,Cout), torch-style k//2 pad."""
+
+@lru_cache(maxsize=8)
+def _wfold_scatter(k):
+    """Constant scatter mapping a (3,3) tap of a cout=1 kernel onto the
+    W-folded kernel layout: (9 taps) -> (3, 3_folded_cols, k phases, k outs).
+    For output phase b and tap dj: the source column lands at folded column
+    s = floor((b+dj)/k) with intra-group phase q = (b+dj) mod k."""
+    M = np.zeros((9, 3, 3, k, k), np.float32)
+    for b in range(k):
+        for di in range(-1, 2):
+            for dj in range(-1, 2):
+                s, q = divmod(b + dj, k)
+                M[(di + 1) * 3 + (dj + 1), di + 1, s + 1, q, b] = 1.0
+    return M
+
+
+def _conv3x3_wfold(x, w, k: int = 8, precision=None):
+    """Stride-1 3x3 conv with ONE output channel, W-folded for the MXU.
+
+    A cout=1 conv costs one systolic row per output pixel (two passes at
+    K=9*Cin>128) no matter how empty the output tile is — measured 5.5 ms for
+    (8,480,854,16)->1 on v5e, the tracker's single largest device op. Packing
+    k horizontal pixels into channels is a FREE contiguous reshape (unlike
+    space-to-depth, which transposes); the folded conv computes k output
+    pixels per MXU row: measured 3.76 ms at k=8. The folded kernel is the
+    original one scattered by a constant 0/1 map, so products are identical
+    and only summation order differs."""
+    n, h, wd, ci = x.shape
+    wp = -(-wd // k) * k
+    if wp != wd:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wp - wd), (0, 0)))
+    u = x.reshape(n, h, wp // k, k * ci)
+    wflat = w[..., 0].reshape(9, ci)
+    kj = jnp.einsum("tc,tsSqb->sSqcb", wflat.astype(jnp.float32),
+                    jnp.asarray(_wfold_scatter(k)))
+    kj = kj.reshape(3, 3, k * ci, k).astype(w.dtype)
+    v = lax.conv_general_dilated(u, kj, (1, 1), [(1, 1), (1, 1)],
+                                 dimension_numbers=_DN, precision=precision)
+    return v.reshape(n, h, wp, 1)[:, :, :wd]
+
+
+def _conv3x3_tapsum(x, w, precision=None):
+    """Stride-1 3x3 conv as 9 shifted-slice dot_generals accumulated in f32.
+    Numerically equivalent to the direct conv (same products, f32 accumulation
+    like the MXU's; summation order differs in the last ulp)."""
+    n, h, wd, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for i in range(3):
+        for j in range(3):
+            t = lax.dot_general(
+                xp[:, i:i + h, j:j + wd, :], w[i, j],
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            acc = t if acc is None else acc + t
+    return acc.astype(x.dtype)
+
+
+def conv2d(x, w, b=None, stride: int = 1, dilation: int = 1, precision=None,
+           tapsum: bool = True):
+    """2-D convolution. x: (N,H,W,Cin), w: (kh,kw,Cin,Cout), torch-style k//2 pad.
+
+    tapsum=False pins the direct conv lowering regardless of shape — the
+    GN-CG solver passes it so its numerics never depend on channel-count
+    dispatch (its CG trajectory is pinned bit-close against reference
+    mirrors at arbitrary test sizes)."""
     kh, kw = w.shape[0], w.shape[1]
+    if (tapsum and kh == 3 and kw == 3 and stride == 1 and dilation == 1
+            and x.ndim == 4):
+        if w.shape[3] == 1 and w.shape[2] <= 32:
+            y = _conv3x3_wfold(x, w, precision=precision)
+            return y if b is None else y + b
+        if max(w.shape[2], w.shape[3]) <= _TAPSUM_MAX_CH:
+            y = _conv3x3_tapsum(x, w, precision=precision)
+            return y if b is None else y + b
     pad = [(dilation * (kh // 2),) * 2, (dilation * (kw // 2),) * 2]
     y = lax.conv_general_dilated(
         x, w,

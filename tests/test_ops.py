@@ -130,3 +130,59 @@ def test_warp_identity(rng):
     for mode in ("nearest", "bilinear", "bicubic"):
         got = np.asarray(warp_affine(jnp.asarray(x), H, (16, 16), mode))
         np.testing.assert_allclose(got, x, atol=1e-4, err_msg=mode)
+
+
+def test_conv2d_tapsum_matches_direct_lowering(rng):
+    """The small-channel 3x3 fast path (9 shifted-slice matmuls, ops/conv.py
+    _conv3x3_tapsum) must agree with the direct conv lowering at the decoder's
+    real channel counts — same products, f32 accumulation, only summation
+    order differs."""
+    from jax import lax
+    from frtm_tpu.ops.conv import _conv3x3_tapsum
+    for cin, cout, h, w in [(33, 33, 15, 27), (32, 16, 24, 43), (48, 2, 48, 86)]:
+        x = rng.randn(2, h, w, cin).astype(np.float32)
+        k = (rng.randn(3, 3, cin, cout).astype(np.float32) * 0.1)
+        got = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(k)))
+        fast = np.asarray(_conv3x3_tapsum(jnp.asarray(x), jnp.asarray(k)))
+        dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        direct = np.asarray(lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(k), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=dn))
+        np.testing.assert_array_equal(got, fast)  # dispatch picked the fast path
+        np.testing.assert_allclose(fast, direct, atol=1e-5, rtol=1e-5)
+
+
+def test_conv2d_wfold_matches_direct_lowering(rng):
+    """The cout=1 W-folded fast path (8 horizontal pixels packed into channels
+    by a free reshape, ops/conv.py _conv3x3_wfold) must agree with the direct
+    conv at the decoder-head shapes, including widths that need fold padding."""
+    from jax import lax
+    from frtm_tpu.ops.conv import _conv3x3_wfold
+    for cin, h, w in [(16, 24, 86), (16, 9, 53), (32, 7, 8), (1, 5, 21)]:
+        x = rng.randn(2, h, w, cin).astype(np.float32)
+        k = (rng.randn(3, 3, cin, 1).astype(np.float32) * 0.1)
+        got = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(k)))
+        fast = np.asarray(_conv3x3_wfold(jnp.asarray(x), jnp.asarray(k)))
+        dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        direct = np.asarray(lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(k), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=dn))
+        np.testing.assert_array_equal(got, fast)  # dispatch picked the fold path
+        np.testing.assert_allclose(fast, direct, atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_conv_small_interpret_parity(rng):
+    """The measured-and-rejected VPU kernel (ops/pallas/conv_small.py) stays
+    exact — it is kept as the recorded experiment for the cout=1 decoder conv."""
+    from jax import lax
+    from frtm_tpu.ops.pallas.conv_small import conv3x3_cout1_pallas
+    x = rng.randn(2, 32, 54, 16).astype(np.float32)
+    k = (rng.randn(3, 3, 16, 1).astype(np.float32) * 0.1)
+    b = rng.randn(1).astype(np.float32)
+    got = np.asarray(conv3x3_cout1_pallas(
+        jnp.asarray(x), jnp.asarray(k), jnp.asarray(b), interpret=True))
+    dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    want = np.asarray(lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=dn)) + b
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
