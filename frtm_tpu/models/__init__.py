@@ -8,6 +8,7 @@ from .resnet import (
 from .seg_network import (
     init_seg_network,
     seg_network_apply,
+    seg_network_reduce,
     seg_network_from_torch_state_dict,
 )
 from .solver import CGState, gauss_newton_cg, init_cg_state, scalar_preconditioner
@@ -23,7 +24,8 @@ from .multilayer import ml_init_params, ml_disc_init, ml_disc_apply, ml_disc_upd
 __all__ = [
     "RESNET_SPECS", "init_resnet", "resnet_from_torch_state_dict",
     "extract_features", "resnet_out_channels",
-    "init_seg_network", "seg_network_apply", "seg_network_from_torch_state_dict",
+    "init_seg_network", "seg_network_apply", "seg_network_reduce",
+    "seg_network_from_torch_state_dict",
     "CGState", "gauss_newton_cg", "init_cg_state", "scalar_preconditioner",
     "MemoryState", "memory_init", "memory_update",
     "DiscConfig", "DiscParams", "DiscState",

@@ -154,14 +154,38 @@ def _c(p, x, **kw):
     return conv2d(x, p["w"], p.get("b"), **kw)
 
 
-def _tse(p, ft, score):
+def _tse_reduce(p, ft):
+    """The score-independent half of the TSE: feature reduction + its pooled
+    vector. Split out so multi-object trackers can run it ONCE per frame and
+    broadcast the (cheap, 32-channel) result across object lanes instead of
+    broadcasting the full backbone pyramid. Same math on identical inputs;
+    only conv-backend batch-size vectorisation ulps can differ (~1e-8)."""
     h = _c(p["reduce2"], relu(_c(p["reduce1"], ft)))
     hpool = jnp.mean(h, axis=(1, 2), keepdims=True)
+    return h, hpool
+
+
+def _tse_transform(p, h, score):
     h = adaptive_cat((h, score), ref_index=0)
     h = relu(_c(p["transform1"], h))
     h = relu(_c(p["transform2"], h))
     h = relu(_c(p["transform3"], h))
-    return h, hpool
+    return h
+
+
+def _tse(p, ft, score):
+    h, hpool = _tse_reduce(p, ft)
+    return _tse_transform(p, h, score), hpool
+
+
+def seg_network_reduce(params, features,
+                       layers=("layer5", "layer4", "layer3", "layer2")):
+    """Precompute the object-independent TSE reductions for a batch of frames:
+    {layer: (reduced (B,h,w,oc), pooled (B,1,1,oc))}. Feed the result to
+    seg_network_apply(reduced=...) to decode many per-object score maps
+    against shared frames without re-reducing (or even materialising) the
+    backbone pyramid per object."""
+    return {L: _tse_reduce(params["tse"][L], features[L]) for L in layers}
 
 
 def _rrb(p, x, bn_updates=None, bn_key=None):
@@ -274,19 +298,24 @@ def _upsampler(p, x, image_size, style="pyrup"):
 
 def seg_network_apply(params, scores, features, image_size,
                       layers=("layer5", "layer4", "layer3", "layer2"),
-                      train_bn: bool = False, upsampler: str = "pyrup"):
+                      train_bn: bool = False, upsampler: str = "pyrup",
+                      reduced=None):
     """Refine coarse score map(s) into a full-resolution mask logit.
 
     :param scores:     (N, h, w, C) coarse discriminator scores, or a LIST of
                        such maps (the legacy stack's multi-layer scores: each
                        is resized to the refinement layer's size and
                        channel-concatenated, ytvos_validation/seg_network.py:106-110)
-    :param features:   {layer: (N, h, w, c)} backbone pyramid
+    :param features:   {layer: (N, h, w, c)} backbone pyramid (may be None
+                       when `reduced` is given)
     :param image_size: (H, W) output size
     :param train_bn:   use batch statistics in the RRB BatchNorms (training);
                        returns (logits, bn_updates) where bn_updates maps
                        (rrb_name, layer) -> updated running-stat dicts
     :param upsampler:  'pyrup' | 'bicubic' upsampling head
+    :param reduced:    optional precomputed seg_network_reduce() output
+                       (already broadcast to the score batch); skips the
+                       object-independent TSE reductions — bit-identical
     :return: (N, H, W, 1) mask logits (caller applies sigmoid, as the
              reference Tracker does at model/tracker.py:203)
     """
@@ -294,10 +323,13 @@ def seg_network_apply(params, scores, features, image_size,
     bn_updates = {} if train_bn else None
     x = None
     for i, L in enumerate(layers):
-        ft = features[L]
-        sz = ft.shape[-3:-1]
+        if reduced is None:
+            h0, hpool = _tse_reduce(params["tse"][L], features[L])
+        else:
+            h0, hpool = reduced[L]
+        sz = h0.shape[-3:-1]
         s = jnp.concatenate([interpolate(ss, sz) for ss in score_list], axis=-1)
-        h, hpool = _tse(params["tse"][L], ft, s)
+        h = _tse_transform(params["tse"][L], h0, s)
         if x is not None:
             hpool = x
         h = _rrb(params["rrb1"][L], h, bn_updates, ("rrb1", L))

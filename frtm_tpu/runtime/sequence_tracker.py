@@ -36,7 +36,7 @@ from jax import lax
 
 from ..config import TrackerConfig
 from ..models.resnet import extract_features
-from ..models.seg_network import seg_network_apply
+from ..models.seg_network import seg_network_apply, seg_network_reduce
 from ..models.discriminator import (
     disc_init, filter_resolve, init_disc_params, online_update_weights,
 )
@@ -162,10 +162,18 @@ class BatchedSequenceTracker:
                     cft, params)
                 if disc_cfg.clamp_output:
                     scores = jnp.clip(scores, -0.1, 1.2)
-                featsN = {L: jnp.broadcast_to(f[None].astype(dtype), (N,) + f.shape)
-                          for L, f in feats_t.items()}
+                # object-independent TSE reductions run once on the frame and
+                # broadcast at 32 channels — not the raw pyramid — across the
+                # N object lanes (bit-identical; seg_network_reduce docstring)
+                red1 = seg_network_reduce(
+                    refiner_c, {L: f[None].astype(dtype)
+                                for L, f in feats_t.items()}, layers)
+                redN = {L: (jnp.broadcast_to(h, (N,) + h.shape[1:]),
+                            jnp.broadcast_to(hp, (N,) + hp.shape[1:]))
+                        for L, (h, hp) in red1.items()}
                 logits = seg_network_apply(refiner_c, scores.astype(dtype),
-                                           featsN, im_size, layers=layers)
+                                           None, im_size, layers=layers,
+                                           reduced=redN)
                 y = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))  # (N, H, W)
                 y = y * active.astype(y.dtype)[:, None, None]
 
@@ -287,12 +295,21 @@ class BatchedSequenceTracker:
                                   in_axes=(1, 0), out_axes=1)(cft, params)
                 if disc_cfg.clamp_output:
                     scores = jnp.clip(scores, -0.1, 1.2)
-                featsWN = {L: jnp.broadcast_to(
-                    f[:, None].astype(dtype), (W, N) + f.shape[1:])
-                    .reshape((W * N,) + f.shape[1:]) for L, f in feats_t.items()}
+                # shared TSE reductions: once per frame (batch W), broadcast
+                # across object lanes at 32 channels instead of broadcasting
+                # the raw pyramid (bit-identical; seg_network_reduce docstring)
+                redW = seg_network_reduce(
+                    refiner_c, {L: f.astype(dtype) for L, f in feats_t.items()},
+                    layers)
+                redWN = {L: (jnp.broadcast_to(h[:, None], (W, N) + h.shape[1:])
+                             .reshape((W * N,) + h.shape[1:]),
+                             jnp.broadcast_to(hp[:, None], (W, N) + hp.shape[1:])
+                             .reshape((W * N,) + hp.shape[1:]))
+                         for L, (h, hp) in redW.items()}
                 sflat = scores.reshape((W * N,) + scores.shape[2:])
                 logits = seg_network_apply(refiner_c, sflat.astype(dtype),
-                                           featsWN, im_size, layers=layers)
+                                           None, im_size, layers=layers,
+                                           reduced=redWN)
                 y = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
                 y = y.reshape((W, N) + y.shape[1:])                # (W,N,H,W)
                 y = y * active[..., None, None]

@@ -144,3 +144,33 @@ def test_cab_gating_math(rng):
     want = st * torch.sigmoid(g) + F.interpolate(dt, (8, 8), mode="bilinear", align_corners=False)
     np.testing.assert_allclose(np.asarray(out), np.moveaxis(want.numpy(), 1, -1),
                                atol=1e-5, rtol=0)
+
+
+def test_precomputed_reduce_is_bit_identical():
+    """seg_network_apply(reduced=...) — the shared-TSE-reduce path the
+    multi-object trackers use — computes the same math as the direct path;
+    only last-ulp noise from the conv backend's batch-size-dependent
+    vectorisation may differ (measured 1.5e-8 on CPU)."""
+    import jax
+    from frtm_tpu.models.seg_network import (
+        init_seg_network, seg_network_apply, seg_network_reduce)
+    rng = np.random.RandomState(7)
+    layers = ("layer5", "layer4", "layer3", "layer2")
+    ch = {"layer5": 48, "layer4": 32, "layer3": 24, "layer2": 16}
+    params = init_seg_network(jax.random.PRNGKey(3), ch)
+    hw = {"layer5": (2, 3), "layer4": (4, 6), "layer3": (8, 12), "layer2": (16, 24)}
+    N = 3
+    feats1 = {L: jnp.asarray(rng.randn(1, *hw[L], ch[L]).astype(np.float32))
+              for L in layers}
+    featsN = {L: jnp.broadcast_to(f, (N,) + f.shape[1:]) for L, f in feats1.items()}
+    scores = jnp.asarray(rng.randn(N, 2, 3, 1).astype(np.float32))
+
+    direct = seg_network_apply(params, scores, featsN, (32, 48), layers=layers)
+    red1 = seg_network_reduce(params, feats1, layers)
+    redN = {L: (jnp.broadcast_to(h, (N,) + h.shape[1:]),
+                jnp.broadcast_to(hp, (N,) + hp.shape[1:]))
+            for L, (h, hp) in red1.items()}
+    shared = seg_network_apply(params, scores, None, (32, 48), layers=layers,
+                               reduced=redN)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(shared),
+                               atol=1e-6, rtol=1e-6)
