@@ -51,6 +51,19 @@ class TargetObject:
 def merge_soft_masks(masks: jnp.ndarray) -> jnp.ndarray:
     """Soft aggregation + mutual exclusion (reference tracker.py:214-221).
     masks: (n_obj+1, H, W); row 0 is background."""
+    if masks.shape[0] == 2:
+        # single object: the 2-way softmax over [bg, fg] odds is exactly the
+        # sigmoid of the odds difference (softmax([a,b])[1] == sigmoid(b-a)
+        # to float rounding), and argmax is a sign test — same math as the
+        # general branch in ~half the full-resolution element-wise passes.
+        # Ties (p == 0.5) go to background, matching argmax's first-max rule.
+        p = jnp.clip(masks[1], 1e-7, 1 - 1e-7)
+        r1 = p / (1.0 - p)
+        r0 = (1.0 - p) / p
+        win = (r1 > r0).astype(masks.dtype)
+        s1 = jax.nn.sigmoid(r1 - r0)
+        s0 = jax.nn.sigmoid(r0 - r1)
+        return jnp.stack([s0 * (1.0 - win), s1 * win])
     p = jnp.clip(masks, 1e-7, 1 - 1e-7)
     bg = jnp.min(1.0 - p[1:], axis=0)
     p = p.at[0].set(bg)

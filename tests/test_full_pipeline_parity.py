@@ -427,14 +427,12 @@ def test_full_pipeline_matches_torch_mirror():
     # the online re-solve path must actually have run (train_skipping=2)
     assert resolves >= 2
 
-    # final filter parity after memory updates + warm-started re-solves. The
-    # update feedback quantises masks through a 0.5 threshold
-    # (online_update_weights), so float-noise borderline-pixel flips (decoder
-    # convs run as tap-sum matmuls, ops/conv.py) cause discrete label-input
-    # changes and a legitimate ~1e-3 filter shift. Semantic drift (wrong hinge
-    # weights / schedule / labels) shows up at 1e-2+ — still caught.
+    # final filter parity after memory updates + warm-started re-solves.
+    # (On CPU the conv fast paths are gated off — ops/conv.py tapsum=None —
+    # so this stays tight; the TPU tap-sum/W-fold formulations are pinned
+    # op-level by test_ops.py's lowering-parity tests.)
     for tgt, dt in zip(targets_j, targets_t):
         np.testing.assert_allclose(
             np.asarray(tgt["params"].filter),
             dt.filt.detach().numpy().transpose(2, 3, 1, 0),
-            rtol=1e-2, atol=1.5e-3)
+            rtol=5e-3, atol=5e-5)

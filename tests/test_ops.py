@@ -142,7 +142,7 @@ def test_conv2d_tapsum_matches_direct_lowering(rng):
     for cin, cout, h, w in [(33, 33, 15, 27), (32, 16, 24, 43), (48, 2, 48, 86)]:
         x = rng.randn(2, h, w, cin).astype(np.float32)
         k = (rng.randn(3, 3, cin, cout).astype(np.float32) * 0.1)
-        got = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(k)))
+        got = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(k), tapsum=True))
         fast = np.asarray(_conv3x3_tapsum(jnp.asarray(x), jnp.asarray(k)))
         dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
         direct = np.asarray(lax.conv_general_dilated(
@@ -161,7 +161,7 @@ def test_conv2d_wfold_matches_direct_lowering(rng):
     for cin, h, w in [(16, 24, 86), (16, 9, 53), (32, 7, 8), (1, 5, 21)]:
         x = rng.randn(2, h, w, cin).astype(np.float32)
         k = (rng.randn(3, 3, cin, 1).astype(np.float32) * 0.1)
-        got = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(k)))
+        got = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(k), tapsum=True))
         fast = np.asarray(_conv3x3_wfold(jnp.asarray(x), jnp.asarray(k)))
         dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
         direct = np.asarray(lax.conv_general_dilated(

@@ -103,3 +103,32 @@ def test_tracker_discriminator_localises():
     fg = s_up[gt].mean()
     bg = s_up[~gt].mean()
     assert fg > bg + 0.2, (fg, bg)
+
+
+def test_merge_soft_masks_single_object_fast_path():
+    """The 2-row (bg + 1 object) merge fast path must equal the general
+    softmax/argmax branch to float rounding — softmax([a,b]) == sigmoid(b-a)
+    — including the tie-goes-to-background rule at exactly p=0.5."""
+    import jax
+    import jax.numpy as jnp
+    from frtm_tpu.runtime.tracker import merge_soft_masks
+
+    rng = np.random.RandomState(11)
+    y = rng.rand(17, 23).astype(np.float32)
+    y[0, :4] = 0.5  # exact ties
+    y[1, :4] = np.array([0.0, 1.0, 1e-8, 1 - 1e-8])  # clip boundaries
+    masks = jnp.stack([jnp.zeros_like(jnp.asarray(y)), jnp.asarray(y)])
+
+    fast = np.asarray(merge_soft_masks(masks))
+
+    def general(masks):
+        p = jnp.clip(masks, 1e-7, 1 - 1e-7)
+        bg = jnp.min(1.0 - p[1:], axis=0)
+        p = p.at[0].set(bg)
+        segs = jax.nn.softmax(p / (1.0 - p), axis=0)
+        inds = jnp.argmax(segs, axis=0)
+        onehot = jax.nn.one_hot(inds, masks.shape[0], axis=0, dtype=segs.dtype)
+        return segs * onehot
+
+    want = np.asarray(general(masks))
+    np.testing.assert_allclose(fast, want, atol=1e-6, rtol=1e-6)
