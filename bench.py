@@ -51,8 +51,8 @@ def main():
     seq = make_moving_square_sequence(n_frames=n_frames, size=(480, 854),
                                       square=120, n_objects=1, seed=0)
 
-    # speedrun warm-up compiles every per-frame program; then 5 measured
-    # passes. Median-of-5 is the stable figure; best is also reported because
+    # speedrun warm-up compiles every per-frame program; then 7 measured
+    # passes. Median-of-7 is the stable figure; best is also reported because
     # host/tunnel scheduling noise (not the workload) dominates run-to-run
     # variance in this environment and only deflates, never inflates, a pass.
     import re

@@ -96,8 +96,10 @@ def evaluate_dataset(dset, results_path, measure="J", to_file=True):
         all_recall.extend(scored["recall"])
 
         # sequence line: object-mean score, running dataset mean, and the
-        # object-averaged per-frame score curve
-        frame_curve = nanmean(np.stack(per_frame), axis=0)
+        # object-averaged per-frame score curve (a sequence with no scored
+        # objects gets a NaN curve rather than crashing np.stack on [])
+        frame_curve = (nanmean(np.stack(per_frame), axis=0) if per_frame
+                       else np.full(1, np.nan))
         report.line("final  : acc {seq:.3f} ({dset:.3f}) ┊{apf}┊".format(
             seq=mean(per_object), dset=np.mean(all_object_scores),
             apf=text_bargraph(frame_curve)))

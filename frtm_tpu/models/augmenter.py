@@ -345,13 +345,20 @@ class ImageAugmenter:
 
     # -- top level ----------------------------------------------------------
 
-    def augment_first_frame(self, image, mask, rng: np.random.RandomState):
+    def augment_first_frame(self, image, mask, rng: np.random.RandomState,
+                            copy: bool = True):
         """Create num_aug augmented (image, label) pairs; slot 0 is the real
         frame (reference lines 473-555).
 
         :param image: (H, W, 3) uint8-range array
         :param mask:  (H, W, 1) binary object mask
-        :return: (images (K, H, W, 3) f32 0-255, labels (K, H, W, 1) f32 0/1)
+        :param copy:  True (default) returns fresh arrays the caller owns.
+                      False returns the augmenter's INTERNAL buffers, which
+                      the NEXT augment_first_frame call overwrites — only
+                      safe when this is the last augmentation before the
+                      batch is fully consumed (the fused tracker passes it
+                      for the final object to skip a multi-MB copy).
+        :return: (images (K, H, W, 3) uint8 0-255, labels (K, H, W, 1) uint8 0/1)
         """
         p = self.params
         image = np.asarray(image)
@@ -372,12 +379,12 @@ class ImageAugmenter:
         fg_sel["location"] = self.generate_target_locations(p["num_aug"], im_sz, rng)
         bg_sel = p.get("bg_aug_params")
 
-        # Output batch buffers, REUSED across calls (cached per shape): fresh
-        # multi-MB allocations page-fault on every call on this host, and the
-        # copy-into-stack pattern was a measured hot spot. Consumers upload
-        # the batch to the device before the next augment call (tracker /
-        # trainer call order), so reuse is safe; the buffers are overwritten
-        # by the next call to this method.
+        # Working batch buffers, REUSED across calls (cached per shape):
+        # fresh multi-MB allocations page-fault on every call on this host,
+        # and the copy-into-stack pattern was a measured hot spot. The
+        # returned arrays are copies unless copy=False (see docstring) —
+        # returning the live buffers to multi-object callers fed every
+        # object's init from the LAST object's augmentation (round-2 bug).
         K = p["num_aug"]
         H, W = im_sz
         key = (K, H, W)
@@ -463,4 +470,6 @@ class ImageAugmenter:
 
         # pasted images become bytes like the reference's .byte() cast
         # (warp_filter_and_paste, augmenter.py:402); labels are exact 0/1
+        if copy:
+            return buf_im.copy(), buf_lb.copy()
         return buf_im, buf_lb

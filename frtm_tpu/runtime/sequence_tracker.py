@@ -129,6 +129,37 @@ class BatchedSequenceTracker:
         dtype = self.dtype  # decoder compute dtype (bf16 on TPU); the
         # discriminator solve and mask aggregation stay float32
 
+        # shared by BOTH scan programs below — the memory-insert and re-solve
+        # semantics ARE the bit-exactness contract between the per-frame and
+        # windowed paths, so they exist exactly once
+        def insert_sample(state, c, ty, e, act):
+            """Row-gated memory insert (on >=10 fg px) + frame counter
+            advance for every tracked frame (the reference increments in
+            apply regardless of mask quality)."""
+            label, pw = online_update_weights(ty, disc_cfg)
+            mem = memory_update(state.memory, c, label, pw,
+                                disc_cfg.learning_rate, enabled=e)
+            return state._replace(
+                memory=mem, frame_num=state.frame_num + act.astype(jnp.int32))
+
+        def resolve_due(params, states, due):
+            """Filter re-solve where `due`; runs when ANY lane is due, lanes
+            select their own result. Only filter params and CG state change —
+            the memory buffers stay out of the select (no 100MB-scale
+            copies)."""
+            def resolve(args):
+                params_, cg = args
+                new_p, new_cg = jax.vmap(
+                    lambda p, s: filter_resolve(p, s, disc_cfg))(
+                    params_, states)
+                sel = lambda a, b: jnp.where(
+                    due.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+                return jax.tree.map(sel, new_p, params_), \
+                    jax.tree.map(sel, new_cg, cg)
+
+            return lax.cond(jnp.any(due), resolve, lambda a: a,
+                            (params, states.cg))
+
         def scan_track(refiner, feats_all, disc_params, disc_states,
                        start_frames, start_masks, obj_ids_lut, im_size):
             """:param feats_all:      {L: (T', h, w, c)} frames 1..T'
@@ -202,41 +233,14 @@ class BatchedSequenceTracker:
                 # memory insert per active object (gated on >=10 fg px)
                 train_y = merged[1:][..., None]             # (N, H, W, 1)
                 enough = ((train_y > 0.5).sum(axis=(1, 2, 3)) >= 10) & active
+                states = jax.vmap(insert_sample)(states, cft, train_y, enough,
+                                                 active)
 
-                # frame counter advances for every tracked frame (the
-                # reference increments in apply regardless of mask quality);
-                # the memory insert is row-gated on enough foreground (no
-                # whole-buffer selects in the scan carry)
-                def insert2(state, c, ty, e, act):
-                    label, pw = online_update_weights(ty, disc_cfg)
-                    mem = memory_update(state.memory, c, label, pw,
-                                        disc_cfg.learning_rate, enabled=e)
-                    return state._replace(
-                        memory=mem,
-                        frame_num=state.frame_num + act.astype(jnp.int32))
-
-                states = jax.vmap(insert2)(states, cft, train_y, enough, active)
-
-                # filter re-solve on each object's own cadence; the solve runs
-                # when ANY object is due (objects entering mid-sequence have
-                # different parities), lanes select their own result
+                # filter re-solve on each object's own cadence (objects
+                # entering mid-sequence have different parities)
                 due = active & (states.frame_num % disc_cfg.train_skipping == 0) \
                     & enough
-
-                def resolve(args):
-                    params, cg = args
-                    new_p, new_cg = jax.vmap(
-                        lambda p, s: filter_resolve(p, s, disc_cfg))(
-                        params, states)
-                    sel = lambda a, b: jnp.where(
-                        due.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
-                    # only filter params and CG state change — the memory
-                    # buffers stay out of the select (no 100MB-scale copies)
-                    return jax.tree.map(sel, new_p, params), \
-                        jax.tree.map(sel, new_cg, cg)
-
-                params, cg = lax.cond(jnp.any(due), resolve, lambda a: a,
-                                      (params, states.cg))
+                params, cg = resolve_due(params, states, due)
                 states = states._replace(cg=cg)
                 return (params, states, t), out
 
@@ -272,14 +276,6 @@ class BatchedSequenceTracker:
             feats_w = {L: v.reshape((nw, W) + v.shape[1:])
                        for L, v in feats_all.items()}
             comp_w = compressed_all.reshape((nw, W) + compressed_all.shape[1:])
-
-            def insert2(state, c, ty, e, act):
-                label, pw = online_update_weights(ty, disc_cfg)
-                mem = memory_update(state.memory, c, label, pw,
-                                    disc_cfg.learning_rate, enabled=e)
-                return state._replace(
-                    memory=mem,
-                    frame_num=state.frame_num + act.astype(jnp.int32))
 
             def window_step(carry, xs):
                 params, states, t = carry
@@ -338,26 +334,14 @@ class BatchedSequenceTracker:
 
                 def ins_step(st, xw):
                     c_t, ty_t, e_t, a_t = xw
-                    return jax.vmap(insert2)(st, c_t, ty_t, e_t, a_t), None
+                    return jax.vmap(insert_sample)(st, c_t, ty_t, e_t, a_t), None
 
                 states, _ = lax.scan(ins_step, states,
                                      (cft, train_y, enough, active))
 
                 due = active[-1] & (states.frame_num % disc_cfg.train_skipping
                                     == 0) & enough[-1]
-
-                def resolve(args):
-                    params, cg = args
-                    new_p, new_cg = jax.vmap(
-                        lambda p, s: filter_resolve(p, s, disc_cfg))(
-                        params, states)
-                    sel = lambda a, b: jnp.where(
-                        due.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
-                    return jax.tree.map(sel, new_p, params), \
-                        jax.tree.map(sel, new_cg, cg)
-
-                params, cg = lax.cond(jnp.any(due), resolve, lambda a: a,
-                                      (params, states.cg))
+                params, cg = resolve_due(params, states, due)
                 states = states._replace(cg=cg)
                 return (params, states, t + W), out
 
@@ -471,11 +455,16 @@ class BatchedSequenceTracker:
         # still interleaves with extraction below.
         aug_batches = []
         if self.augment_backend != "device":
-            for obj_id, start_idx, mask, image in objects:
+            for k, (obj_id, start_idx, mask, image) in enumerate(objects):
                 rng = np.random.RandomState(0)
                 with timer.phase("augment"):
+                    # all batches are collected BEFORE any is consumed, so
+                    # every object except the last needs its own copy of the
+                    # augmenter's reused output buffers (copy=False for the
+                    # final object skips one multi-MB host copy)
                     aug_batches.append(self.augmenter.augment_first_frame(
-                        image, mask[..., None], rng))
+                        image, mask[..., None], rng,
+                        copy=(k != len(objects) - 1)))
 
         # whole-sequence extraction dispatch is async: the device chews the
         # backbone pyramid (~1.2 ms/frame) while the host stacks init inputs

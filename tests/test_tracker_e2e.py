@@ -132,3 +132,33 @@ def test_merge_soft_masks_single_object_fast_path():
 
     want = np.asarray(general(masks))
     np.testing.assert_allclose(fast, want, atol=1e-6, rtol=1e-6)
+
+
+def test_augment_batches_do_not_alias_across_calls():
+    """Regression: augment_first_frame reuses internal output buffers for
+    speed, and the fused tracker collects EVERY object's batch before any is
+    consumed — with the old return-the-live-buffer behavior, all objects'
+    discriminator inits read the LAST object's augmentation (round-2 review
+    finding). Default copy=True must hand out independent arrays; copy=False
+    (the last-object fast path) may alias."""
+    from frtm_tpu.config import eval_aug_params
+    from frtm_tpu.models.augmenter import ImageAugmenter
+
+    rng_np = np.random.RandomState(0)
+    im = (rng_np.rand(64, 96, 3) * 255).astype(np.uint8)
+    m1 = np.zeros((64, 96, 1), np.float32)
+    m1[10:30, 12:40] = 1.0
+    m2 = np.zeros((64, 96, 1), np.float32)
+    m2[34:58, 50:88] = 1.0
+
+    aug = ImageAugmenter(eval_aug_params(num_aug=3))
+    im1, lb1 = aug.augment_first_frame(im, m1, np.random.RandomState(0))
+    im2, lb2 = aug.augment_first_frame(im, m2, np.random.RandomState(0),
+                                       copy=False)
+    assert not np.shares_memory(im1, im2)
+    assert not np.shares_memory(lb1, lb2)
+    # slot 0 is the real frame: object 1's labels must still be object 1's
+    # mask after object 2's augmentation ran
+    np.testing.assert_array_equal(lb1[0, ..., 0], m1[..., 0].astype(np.uint8))
+    np.testing.assert_array_equal(lb2[0, ..., 0], m2[..., 0].astype(np.uint8))
+    assert (lb1[0] != lb2[0]).any()
