@@ -28,7 +28,13 @@ round-1 HTTP-500 stall):
   * the affine warp is gather-shaped — a TPU anti-pattern (measured 2.5 s
     for a 19-spec augmentation batch vs 56 ms on host cv2) — and
     deliberately stays on the XLA/host paths.
+  * conv_small.py: a channel-planes VPU kernel for the decoder's cout=1
+    full-res head conv — exact, compiles, measured 6.1-6.4 ms vs XLA's
+    5.5 ms (the layout transpose it needs dominates); the production fix is
+    the algebraic W-fold reformulation in ops/conv.py (3.76 ms), and the
+    kernel stays as the measured record.
 """
 from .pyrup import pyr_up_bicubic_pallas
+from .conv_small import conv3x3_cout1_pallas
 
-__all__ = ["pyr_up_bicubic_pallas"]
+__all__ = ["pyr_up_bicubic_pallas", "conv3x3_cout1_pallas"]
