@@ -105,9 +105,11 @@ class ImageAugmenter:
         and optional bg_aug_params (parameter-selection lists)
         :param backend: 'native' (frtm_native C++ warps, threaded),
         'cv2' (host warps matching the reference's CPU dispatch path,
-        lib/image.py:47-50), 'xla' (device warps via ops/warp), or 'auto'
-        (native if built, else cv2). Host backends win when host<->device
-        bandwidth is limited; init-time augmentation is host latency-bound."""
+        lib/image.py:47-50), 'xla' (device warps via ops/warp), or 'auto',
+        which selects cv2: its SIMD warps measured faster than the scalar
+        native kernel on few-core hosts (pass 'native' explicitly to use
+        the C++ path). Host backends win when host<->device bandwidth is
+        limited; init-time augmentation is host latency-bound."""
         self.params = params
         if backend == "auto":
             # cv2's SIMD warps beat the scalar native kernel on few-core

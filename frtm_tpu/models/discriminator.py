@@ -129,6 +129,11 @@ def compute_pixel_weights(y, cfg: DiscConfig):
     wf = jnp.where(jnp.isfinite(wf), wf, 1.0)
     wb = (1.0 - tf_eff) / (1.0 - af)
     wb = jnp.where(jnp.isfinite(wb), wb, 1.0)
+    # deliberate reference-faithful quirk: the interpolation uses the RAW
+    # label values, so distractor labels (y > 1) can produce w = 2*wf - wb
+    # < 0 and sqrt -> NaN when the object is large — the legacy reference
+    # has the identical formula and exposure
+    # (ytvos_validation/discriminator.py:219-221); kept for parity.
     w = wf * y + wb * (1.0 - y)
     if cfg.distractor_mult != 1.0:
         w = jnp.where(distractors, w * cfg.distractor_mult, w)

@@ -61,9 +61,12 @@ def memory_update(state: MemoryState, feature, label, pixel_weight,
     sw_new = jnp.where(first_insert, sw_first, sw_chain)
 
     # degenerate branch (empty memory or lr == 1): everything on slot 0
-    empty = state.current_size == 0
-    sw_new = jnp.where(empty, jnp.zeros_like(sw).at[0].set(1.0), sw_new)
-    r_ind = jnp.where(empty, 0, r_ind_normal)
+    # (reference update_sample_weights routes `num_samp == 0 or lr == 1`
+    # there; without it lr=1.0 divides by (1-lr)=0 and NaNs every weight).
+    # lr is a static Python float, so the lr test folds at trace time.
+    degen = jnp.logical_or(state.current_size == 0, lr >= 1.0)
+    sw_new = jnp.where(degen, jnp.zeros_like(sw).at[0].set(1.0), sw_new)
+    r_ind = jnp.where(degen, 0, r_ind_normal)
 
     sw_new = sw_new / sw_new.sum()
 

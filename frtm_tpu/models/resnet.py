@@ -212,6 +212,8 @@ def extract_features(params, images, arch: str, output_layers=None,
     x = relu(batch_norm(conv2d(x, cast(params["conv1"]), stride=2), jax.tree.map(cast, params["bn1"])))
     x = max_pool_3x3_s2(x)
     save("layer1", x)
+    if deepest == "layer1":  # stem-only request: skip all residual stages
+        return out
     for si, stage in enumerate(params["stages"]):
         name = f"layer{si + 2}"
         for bi, blk in enumerate(stage):

@@ -342,10 +342,19 @@ def seg_network_apply(params, scores, features, image_size,
 
 
 def apply_bn_updates(params, bn_updates):
-    """Fold train-mode BN running-stat updates back into the params pytree."""
+    """Fold train-mode BN running-stat updates back into the params pytree.
+
+    ONLY mean/var are taken from the update dicts: scale/bias are ordinary
+    trainable parameters (torch trains BN weight/bias through the optimizer,
+    reference model/seg_network.py RRB blocks), and the update dicts carry
+    the values captured BEFORE the optimizer step — overwriting them here
+    would silently pin the BN affine at its initial (1, 0) forever."""
     params = dict(params)
     for (rrb, L), stats in bn_updates.items():
         params[rrb] = dict(params[rrb])
         params[rrb][L] = dict(params[rrb][L])
-        params[rrb][L]["bn"] = stats
+        bn = dict(params[rrb][L]["bn"])
+        bn["mean"] = stats["mean"]
+        bn["var"] = stats["var"]
+        params[rrb][L]["bn"] = bn
     return params

@@ -95,10 +95,16 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         n_pad = 1 << (n_objects - 1).bit_length()
         return (im_size, bucket_T, n_pad)
 
-    def run_dataset(self, dataset, out_path, restart=None, chunk_multiple=1):
+    def run_dataset(self, dataset, out_path, speedrun=False, restart=None,
+                    chunk_multiple=1):
         """Streaming dataset evaluation, memory bounded to one chunk
         (the reference streams sequence-by-sequence, model/tracker.py:88-99;
         here the unit is a mesh-sized chunk of sequences).
+
+        `speedrun` is accepted for signature compatibility with
+        BatchedSequenceTracker.run_dataset (so a positional third argument is
+        never silently consumed as `restart`); warm-up passes are meaningless
+        for the batched engine and the flag is ignored.
 
         Groups sequences by program shape from metadata, then per chunk of
         `n_devices * chunk_multiple` sequences: decode + init + track + write
@@ -191,6 +197,10 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
             # start frame beyond the sequence (never active), empty start
             # masks, and LUT entries mapping to background
             n_real = len(prep["objects"])
+            assert n_real <= n_obj, (
+                f"sequence '{sequence.name}' prepared {n_real} objects but its "
+                f"metadata grouped it at width {n_obj} — start_frames and "
+                "obj_ids disagree")
             opad = n_obj - n_real
             if opad:
                 rep = lambda t: jnp.concatenate(

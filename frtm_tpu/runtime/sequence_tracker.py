@@ -488,8 +488,11 @@ class BatchedSequenceTracker:
                 if isinstance(im_aug, jnp.ndarray):
                     ft_in, lb_in = im_aug, lb_aug
                 else:
-                    ft_in = jnp.asarray(im_aug.astype(np.uint8))
-                    lb_in = jnp.asarray(lb_aug.astype(np.uint8))
+                    # np.asarray with a dtype is a no-op view for the
+                    # augmenter's uint8 buffers — .astype would memcpy
+                    # ~25 MB per object inside the fps clock
+                    ft_in = jnp.asarray(np.asarray(im_aug, np.uint8))
+                    lb_in = jnp.asarray(np.asarray(lb_aug, np.uint8))
                 ft = self._extract_disc_layer(self.backbone, ft_in)
                 p, s = self._init_disc(self._disc_params0,
                                        ft[self.disc_cfg.layer], lb_in)

@@ -152,6 +152,13 @@ class TrainerModel:
                 total = 0.0
                 accs = []
                 bn_final = None
+                # ref_t chains BN running-stat updates across the train
+                # frames (the reference's train-mode forwards each fold
+                # momentum-updated stats: new = 0.9*prev + 0.1*batch_t per
+                # frame, model/training_model.py:150-166). The stats are
+                # stop-gradient'd and unused by train-mode normalisation, so
+                # the chaining is pure bookkeeping with no grad effect.
+                ref_t = refiner
                 for t in range(1, T):
                     feats = extract_features(bb, images[t], self.arch,
                                              output_layers=cfg_layers)
@@ -159,8 +166,9 @@ class TrainerModel:
                     scores = jax.vmap(lambda p, x: disc_apply(p, x[None])[0][0])(
                         disc_batch, ft)
                     logits, bn_updates = seg_network_apply(
-                        refiner, scores, feats, im_size, layers=cfg_layers,
+                        ref_t, scores, feats, im_size, layers=cfg_layers,
                         train_bn=True)
+                    ref_t = apply_bn_updates(ref_t, bn_updates)
                     pred = jax.nn.sigmoid(logits)
                     y = labels[t].astype(jnp.float32)
                     eps = 1e-7
@@ -168,7 +176,8 @@ class TrainerModel:
                     bce = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p)).mean()
                     total = total + bce
                     accs.append(iou_accuracy(pred[..., 0], y[..., 0]))
-                    bn_final = bn_updates
+                    bn_final = bn_updates  # last frame's dicts hold the
+                    # fully-chained running stats (computed FROM ref_t)
                 acc = jnp.concatenate(accs).mean()
                 return total, (acc, bn_final)
 
@@ -282,7 +291,10 @@ class Trainer:
             images = np.stack([np.stack([s[0][t] for s in samples]) for t in range(T)])
             labels = np.stack([np.stack([s[1][t] for s in samples]) for t in range(T)])
             specs = SampleSpec.from_encoded([s[2] for s in samples])
-            yield images.astype(np.float32), labels.astype(np.float32), specs
+            # native dtype (uint8 for real datasets): the device casts where
+            # needed (extract_features normalises any 0-255 dtype, the loss
+            # casts labels) and the tunnel uploads 4x fewer bytes than f32
+            yield images, labels, specs
 
     def _tb_writer(self):
         """Optional TensorBoard writer (the reference logs per-epoch scalars

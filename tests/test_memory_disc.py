@@ -177,3 +177,19 @@ def test_disc_update_vmaps(rng):
     p2, s2 = upd(p_b, s_b, cft_b, y_b)
     assert p2.filter.shape[0] == n_obj
     assert int(s2.frame_num[0]) == 1
+
+
+def test_memory_update_lr_one_degenerate():
+    """learning_rate=1.0 is the reference's 'always replace' degenerate case
+    (memory.py routes `lr == 1` with `num_samp == 0` to the all-on-slot-0
+    path); without the branch every weight NaNs via division by (1-lr)=0."""
+    from frtm_tpu.models.memory import memory_init, memory_update
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(4, 6, 8, 5).astype(np.float32))
+    labels = jnp.asarray((rng.rand(4, 6, 8, 1) > 0.5).astype(np.float32))
+    pw = jnp.ones_like(labels)
+    st = memory_init(3, feats[:3], labels[:3], pw[:3])
+    st = memory_update(st, feats[3], labels[3], pw[3], learning_rate=1.0)
+    w = np.asarray(st.weights)
+    assert np.isfinite(w).all(), w
+    assert w[0] == 1.0 and w[1:].sum() == 0.0, w

@@ -107,3 +107,29 @@ def test_trainer_data_parallel_over_mesh():
         stats = [json.loads(l) for l in open(Path(tmp) / "log" / "dp1" / "stats.jsonl")]
         losses = [s["stats/loss"] for s in stats]
         assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.slow
+def test_bn_affine_trains_and_running_stats_move():
+    """Regression (round-2 review): BatchNorm scale/bias are ordinary trained
+    parameters in the reference (torch Adam updates them); apply_bn_updates
+    used to overwrite them with pre-step values every step, pinning them at
+    (1, 0) forever. Running stats must also move away from their (0, 1)
+    init — and they momentum-chain across BOTH train frames per step."""
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg, model = _tiny_setup(tmp)
+        dset = lambda: SyntheticTrainingDataset(n_samples=4, size=(96, 128),
+                                                sample_size=3, seed=0)
+        trainer = Trainer("tbn", model, [dset], Path(tmp) / "ckpt",
+                          Path(tmp) / "log", max_epochs=2, batch_size=4,
+                          lr=1e-2, load_latest=False)
+        import io, contextlib
+        with contextlib.redirect_stdout(io.StringIO()):
+            trainer.train()
+        bn = trainer.model.refiner["rrb1"][cfg.refnet_layers[0]]["bn"]
+        assert not np.allclose(np.asarray(bn["scale"]), 1.0), \
+            "BN scale never left its init — affine params are not training"
+        assert not np.allclose(np.asarray(bn["bias"]), 0.0), \
+            "BN bias never left its init — affine params are not training"
+        assert not np.allclose(np.asarray(bn["mean"]), 0.0)
+        assert not np.allclose(np.asarray(bn["var"]), 1.0)
