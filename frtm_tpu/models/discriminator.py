@@ -167,15 +167,22 @@ def _make_residual_fn(memory: MemoryState, regs, apply_net):
 
 
 def _solve(memory: MemoryState, regs, precond, apply_net, theta, state,
-           schedule, cfg: DiscConfig, score_hw):
+           schedule, cfg: DiscConfig, score_hw, collect_losses: bool = False):
     """Run one GN-CG schedule on the memory's weighted LSQ problem, via the
-    configured solver form. apply_net(theta, x) -> (S, h, w, 1)."""
+    configured solver form. apply_net(theta, x) -> (S, h, w, 1).
+
+    collect_losses: also return the per-GN-iteration squared residual norms
+    (the legacy stack's convergence instrumentation,
+    /root/reference/ytvos_validation/optimizer.py:194-274) — supported by BOTH
+    solver forms; the stencil form reports the identical quantity via the
+    quadratic identity (same data term plus the constant y'W^2y)."""
     M1 = scalar_preconditioner(tuple(jnp.asarray(p, jnp.float32) for p in precond))
     dff = cfg.direction_forget_factor
     if cfg.solver == "residual":
         resid = _make_residual_fn(memory, regs, apply_net)
         return gauss_newton_cg(resid, theta, state, schedule, M1, dff,
-                               fletcher_reeves=False)
+                               fletcher_reeves=False,
+                               collect_losses=collect_losses)
     assert cfg.solver == "stencil"
     w2 = jnp.square(_effective_weights(memory))[..., 0]          # (S, H, W)
     M9 = precompute_stencil(w2, score_hw)
@@ -185,16 +192,24 @@ def _solve(memory: MemoryState, regs, precond, apply_net, theta, state,
     def net_fn(theta):
         return apply_net(theta, x)[..., 0]
 
+    loss_const = jnp.vdot(w2, jnp.square(memory.labels[..., 0])) \
+        if collect_losses else 0.0
     return gauss_newton_cg_quadform(net_fn, theta, state, schedule, M1, dff,
-                                    M9, v, regs, fletcher_reeves=False)
+                                    M9, v, regs, fletcher_reeves=False,
+                                    collect_losses=collect_losses,
+                                    loss_const=loss_const)
 
 
-def disc_init(params: DiscParams, features, labels, cfg: DiscConfig):
+def disc_init(params: DiscParams, features, labels, cfg: DiscConfig,
+              collect_losses: bool = False):
     """Two-phase target-model initialisation (reference discriminator.py:154-199).
 
     :param features: (K, h, w, Cin) augmented first-frame features (raw)
     :param labels:   (K, H, W, 1) augmented masks
-    :return: (DiscParams, DiscState)
+    :param collect_losses: also return {'init': (len(init_iters)+1,),
+        'update': (len(update_iters)+1,)} squared-residual-norm trajectories
+        (legacy convergence instrumentation; works for BOTH solver forms)
+    :return: (DiscParams, DiscState[, losses])
     """
     pw = compute_pixel_weights(labels, cfg)
     K = features.shape[0]
@@ -209,8 +224,10 @@ def disc_init(params: DiscParams, features, labels, cfg: DiscConfig):
         return conv2d(conv2d(x, theta[0]), theta[1], tapsum=False)
 
     theta = (params.project, params.filter)
-    theta, _ = _solve(mem1, cfg.filter_reg, cfg.precond, joint_net, theta,
-                      init_cg_state(theta), cfg.init_iters, cfg, score_hw)
+    out1 = _solve(mem1, cfg.filter_reg, cfg.precond, joint_net, theta,
+                  init_cg_state(theta), cfg.init_iters, cfg, score_hw,
+                  collect_losses=collect_losses)
+    theta = out1[0]
     params = DiscParams(project=theta[0], filter=theta[1])
 
     # Phase 2: re-project, build the big compressed memory, filter-only solve
@@ -221,12 +238,16 @@ def disc_init(params: DiscParams, features, labels, cfg: DiscConfig):
         return conv2d(x, theta[0], tapsum=False)
 
     theta_f = (params.filter,)
-    theta_f, cg = _solve(mem2, cfg.filter_reg[1:], cfg.precond[1:], filter_net,
-                         theta_f, init_cg_state(theta_f), cfg.update_iters,
-                         cfg, score_hw)
+    out2 = _solve(mem2, cfg.filter_reg[1:], cfg.precond[1:], filter_net,
+                  theta_f, init_cg_state(theta_f), cfg.update_iters,
+                  cfg, score_hw, collect_losses=collect_losses)
+    (theta_f, cg) = out2[:2]
     params = params._replace(filter=theta_f[0])
 
-    return params, DiscState(memory=mem2, cg=cg, frame_num=jnp.zeros((), jnp.int32))
+    state = DiscState(memory=mem2, cg=cg, frame_num=jnp.zeros((), jnp.int32))
+    if collect_losses:
+        return params, state, {"init": out1[2], "update": out2[2]}
+    return params, state
 
 
 def disc_apply(params: DiscParams, ft, clamp_output: bool = False):
@@ -270,16 +291,26 @@ def online_update_weights(train_y, cfg: DiscConfig):
     raise ValueError(f"unknown update_method: {m}")
 
 
-def filter_resolve(params: DiscParams, state: DiscState, cfg: DiscConfig) -> Tuple[DiscParams, CGState]:
+def filter_resolve(params: DiscParams, state: DiscState, cfg: DiscConfig,
+                   collect_losses: bool = False):
     """Re-run the filter-only GN-CG solve on the current memory, warm-started
-    from the carried CG state (reference discriminator.py:221-227)."""
+    from the carried CG state (reference discriminator.py:221-227).
+
+    collect_losses: also return the (len(update_iters)+1,) squared residual
+    norms of the solve — convergence instrumentation available under EITHER
+    solver form (the production default 'stencil' included)."""
     def filter_net(theta, x):
         return conv2d(x, theta[0], tapsum=False)
 
     score_hw = state.memory.samples.shape[1:3]
-    theta_f, cg = _solve(state.memory, cfg.filter_reg[1:], cfg.precond[1:],
-                         filter_net, (params.filter,), state.cg,
-                         cfg.update_iters, cfg, score_hw)
+    out = _solve(state.memory, cfg.filter_reg[1:], cfg.precond[1:],
+                 filter_net, (params.filter,), state.cg,
+                 cfg.update_iters, cfg, score_hw,
+                 collect_losses=collect_losses)
+    if collect_losses:
+        theta_f, cg, losses = out
+        return params._replace(filter=theta_f[0]), cg, losses
+    theta_f, cg = out
     return params._replace(filter=theta_f[0]), cg
 
 

@@ -158,7 +158,9 @@ def gauss_newton_cg(residual_fn, theta, state: CGState, num_cg_iter: Sequence[in
 
 def gauss_newton_cg_quadform(net_fn, theta, state: CGState, num_cg_iter,
                              M1, direction_forget_factor: float,
-                             M9, v, regs, fletcher_reeves: bool = False):
+                             M9, v, regs, fletcher_reeves: bool = False,
+                             collect_losses: bool = False,
+                             loss_const=0.0):
     """GN-CG on the quadratic form of the weighted least-squares loss,
     ||W(U net(theta) - y)||^2 + sum ||reg_i theta_i||^2, with the label-space
     curvature U'diag(w^2)U precomputed as an exact 3x3 score-space stencil
@@ -170,14 +172,30 @@ def gauss_newton_cg_quadform(net_fn, theta, state: CGState, num_cg_iter,
     :param M9:     (S, 3, 3, h, w) stencil from precompute_stencil(w2)
     :param v:      (S, h, w) projected targets U'(w^2 y)
     :param regs:   per-block regularisation scalars (match theta leaves)
+    :param collect_losses: also return per-GN-iteration squared residual norms
+        (the legacy convergence instrumentation,
+        /root/reference/ytvos_validation/optimizer.py:194-274) — the SAME
+        quantity the residual form reports, recovered from the quadratic form
+        as s'Ms - 2 s'v + loss_const + sum reg_i^2 ||theta_i||^2.
+    :param loss_const: the data term's constant y'diag(w^2)y = sum(w^2 y^2);
+        required (and only used) when collect_losses is set.
     """
     from .lsq_stencil import apply_stencil
 
     reg2 = [r * r for r in regs]
+    losses = []
+
+    def _loss(s, th):
+        data = jnp.vdot(s, apply_stencil(M9, s)) - 2.0 * jnp.vdot(s, v)
+        reg = jnp.sum(jnp.stack([r2 * jnp.vdot(t, t) for r2, t in
+                                 zip(reg2, jax.tree.leaves(th))]))
+        return data + loss_const + reg
 
     for n_cg in num_cg_iter:
         s0, jvp_fn = jax.linearize(net_fn, theta)
         vjp_fn = jax.linear_transpose(jvp_fn, theta)
+        if collect_losses:
+            losses.append(_loss(s0, theta))
 
         def A(p, jvp_fn=jvp_fn, vjp_fn=vjp_fn):
             back = vjp_fn(apply_stencil(M9, jvp_fn(p)))[0]
@@ -193,6 +211,9 @@ def gauss_newton_cg_quadform(net_fn, theta, state: CGState, num_cg_iter,
                             fletcher_reeves)
         theta = _axpy(state.step_alpha, dx, theta)
         state = state._replace(step_alpha=jnp.minimum(state.step_alpha * 1.2, 1.0))
+    if collect_losses:
+        losses.append(_loss(net_fn(theta), theta))
+        return theta, state, jnp.stack(losses)
     return theta, state
 
 

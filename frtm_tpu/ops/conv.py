@@ -94,7 +94,13 @@ def conv2d(x, w, b=None, stride: int = 1, dilation: int = 1, precision=None,
     False pins the direct lowering regardless of shape — the GN-CG solver
     passes it so its numerics never depend on channel-count dispatch (its CG
     trajectory is pinned bit-close against reference mirrors at arbitrary
-    test sizes)."""
+    test sizes).
+
+    Known limitation of the auto-gate: it keys on jax.default_backend(), not
+    the device the op is committed to, so a CPU-committed computation in a
+    TPU-default process would take the TPU fast paths (correct results,
+    1.5-2.3x slower). This codebase never mixes backends in one process;
+    gate on the committed device's platform if that ever changes."""
     if tapsum is None:
         # the axon remote-TPU platform reports its own name, hence not-cpu
         tapsum = jax.default_backend() != "cpu"

@@ -58,9 +58,47 @@ def warp_affine(src: jnp.ndarray, H, size, mode: str = "bicubic") -> jnp.ndarray
     :param mode: 'nearest' | 'bilinear' | 'bicubic'
     """
     out_h, out_w = int(size[0]), int(size[1])
+    xs, ys = _inverse_map(H, out_h, out_w)
+    return _resample(src, xs, ys, mode)
+
+
+def warp_perspective(src: jnp.ndarray, H, size,
+                     mode: str = "bicubic") -> jnp.ndarray:
+    """Warp an (H, W, C) image with a forward 3x3 perspective transform —
+    explicit counterpart of the reference native extension's
+    `warp_perspective` (/root/reference/lib/_npp/nppig.cpp:106-117; exposed
+    but never called from its Python code). The homogeneous division is the
+    same one `warp_affine` performs; this entry point just requires the full
+    3x3 matrix."""
+    H = jnp.asarray(H, jnp.float32)
+    assert H.shape == (3, 3), f"perspective transform must be 3x3, got {H.shape}"
+    return warp_affine(src, H, size, mode)
+
+
+def remap(src: jnp.ndarray, map_x, map_y, mode: str = "bilinear") -> jnp.ndarray:
+    """Coordinate-map warp: out[y, x] = src sampled at (map_x[y,x], map_y[y,x])
+    — the capability of the reference native extension's `remap`
+    (/root/reference/lib/_npp/nppig.cpp:119-169; exposed but never called
+    from its Python code) and of cv2.remap. Out-of-bounds samples are zero,
+    matching the affine warp's constant border.
+
+    :param src:   (H, W, C) array
+    :param map_x: (out_h, out_w) float source x-coordinates
+    :param map_y: (out_h, out_w) float source y-coordinates
+    :param mode:  'nearest' | 'bilinear' | 'bicubic'
+    """
+    xs = jnp.asarray(map_x, jnp.float32)
+    ys = jnp.asarray(map_y, jnp.float32)
+    assert xs.shape == ys.shape and xs.ndim == 2
+    return _resample(src, xs, ys, mode)
+
+
+def _resample(src, xs, ys, mode):
+    """Sample src at float coords (xs, ys) (both (out_h, out_w)) with the
+    given interpolation; shared by warp_affine / warp_perspective / remap."""
+    out_h, out_w = xs.shape
     dtype = src.dtype
     srcf = src.astype(jnp.float32)
-    xs, ys = _inverse_map(H, out_h, out_w)
 
     if mode == "nearest":
         ix = jnp.floor(xs + 0.5).astype(jnp.int32)

@@ -126,11 +126,14 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         chunk = max(1, self.n_devices * chunk_multiple)
         t0 = time.time()
         n_frames = 0
+        seq_fps = []  # per-sequence completion fps (frames / chunk wall)
         for key, members in groups.items():
             for lo in range(0, len(members), chunk):
                 batch = members[lo:lo + chunk]
+                tc = time.time()
                 preps = [(seq, self._prepare(seq)) for seq in batch]
                 results = self._run_group(preps, key)
+                chunk_wall = max(time.time() - tc, 1e-9)
                 del preps  # decoded frames/features/init state die here
                 for seq in batch:
                     dst = out_path / seq.name
@@ -138,17 +141,44 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
                     for lb, f in zip(results[seq.name], seq.frame_names):
                         imwrite_indexed(dst / (f + ".png"), lb)
                     n_frames += len(seq)
+                    seq_fps.append(len(seq) / chunk_wall)
                     print(f"{seq.name}: {len(seq)} frames written")
                     if getattr(seq, "preloaded", None) is not None:
                         seq.preloaded = None  # release decoded frames
                 del results
         fps = n_frames / max(time.time() - t0, 1e-9)
-        print("Sharded dataset pass: %.2f fps aggregate" % fps)
+        # TWO fps semantics, labeled so they are never cross-compared
+        # (VERDICT r2 #9): `aggregate` is total frames / total wall across
+        # all sequences (throughput — the batched engine's natural metric);
+        # `per-sequence mean` matches the reference's report shape (mean over
+        # sequences of frames/wall, model/tracker.py:94-101) but each
+        # sequence's wall here covers its whole chunk, so it reads ~1/B of
+        # aggregate — a latency figure, NOT comparable to the host/fused
+        # engines' single-sequence fps.
+        print("Sharded dataset pass: %.2f fps aggregate (all sequences / "
+              "total wall)" % fps)
+        if seq_fps:
+            print("Sharded dataset pass: %.2f fps per-sequence mean "
+                  "(completion rate; chunks of %d run concurrently)"
+                  % (float(np.mean(seq_fps)), chunk))
         return fps
 
-    def _prepare(self, sequence):
-        """Host-side per-sequence prep: frames, objects, init solves."""
+    def prepare_inputs(self, sequence):
+        """Decode frames and start their device upload — the preload phase
+        the reference excludes from its fps clock (model/tracker.py:88-91).
+        Returns a dict consumable by `_prepare(..., preloaded=...)`."""
         images_np = np.stack([sequence[t][0] for t in range(len(sequence))])
+        return dict(images=images_np,
+                    chunks=self._upload_chunks(images_np[1:]))
+
+    def _prepare(self, sequence, preloaded=None):
+        """Host-side per-sequence prep: frames, objects, init solves."""
+        if preloaded is None:
+            images_np = np.stack([sequence[t][0] for t in range(len(sequence))])
+            chunks = None
+        else:
+            images_np = preloaded["images"]
+            chunks = preloaded["chunks"]
         T = images_np.shape[0]
         im_size = tuple(images_np.shape[1:3])
         objects = self._collect_objects(sequence)
@@ -160,8 +190,7 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
                 image, mask[..., None], rng)
             ft = self._extract_disc_layer(
                 self.backbone, jnp.asarray(im_aug.astype(np.uint8)))
-            p, s = self._init_disc(self._disc_params0, ft[self.disc_cfg.layer],
-                                   jnp.asarray(lb_aug))
+            p, s = self._init_disc(self._disc_params0, ft, jnp.asarray(lb_aug))
             params_list.append(p)
             states_list.append(s)
 
@@ -171,11 +200,17 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         # differing object counts share groups and scan programs
         n_pad = 1 << (len(objects) - 1).bit_length()
         group_key = (im_size, bucket_T, n_pad)
-        return dict(images=images_np, objects=objects, params=params_list,
-                    states=states_list, n_track=n_track, bucket_T=bucket_T,
-                    n_pad=n_pad, im_size=im_size, group_key=group_key)
+        return dict(images=images_np, chunks=chunks, objects=objects,
+                    params=params_list, states=states_list, n_track=n_track,
+                    bucket_T=bucket_T, n_pad=n_pad, im_size=im_size,
+                    group_key=group_key)
 
-    def _run_group(self, seq_preps, key):
+    def _run_group(self, seq_preps, key, as_device=False):
+        """Track one shape-group of prepared sequences in a single sharded
+        vmapped scan program. as_device=True returns the raw (Bp, T, H, W)
+        device label volume without downloading (callers that want the
+        download outside a timing window, e.g. bench.py, fetch it
+        themselves); only merge_mode='online' supports it."""
         im_size, bucket_T, n_obj = key
         B = len(seq_preps)
         Bp = -(-B // self.n_devices) * self.n_devices  # pad to mesh multiple
@@ -184,7 +219,8 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         H, W = im_size
         for i in range(B):
             sequence, prep = seq_preps[i]
-            feats_all = self._extract_sequence(prep["images"][1:])
+            feats_all = self._extract_sequence(prep["images"][1:],
+                                               chunks=prep.get("chunks"))
             disc_params = jax.tree.map(lambda *x: jnp.stack(x), *prep["params"])
             disc_states = jax.tree.map(lambda *x: jnp.stack(x), *prep["states"])
             pad = bucket_T - prep["n_track"]
@@ -231,6 +267,9 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
             self.refiner, stack(feats_b), stack(dp_b),
             stack(ds_b), jnp.asarray(np.stack(sf_b)),
             jnp.asarray(np.stack(sm_b)), jnp.asarray(np.stack(lut_b)))
+        if as_device:
+            assert self.merge_mode == "online"
+            return outs
         outs = jax.device_get(outs)
 
         results = {}

@@ -38,8 +38,9 @@ from ..config import TrackerConfig
 from ..models.resnet import extract_features
 from ..models.seg_network import seg_network_apply, seg_network_reduce
 from ..models.discriminator import (
-    disc_init, filter_resolve, init_disc_params, online_update_weights,
+    filter_resolve, init_disc_params, online_update_weights,
 )
+from ..models.multilayer import ml_disc_init, ml_init_params
 from ..models.memory import memory_update
 from ..models.augmenter import ImageAugmenter
 from ..ops.conv import conv2d
@@ -84,12 +85,34 @@ class BatchedSequenceTracker:
         self.scan_bucket = scan_bucket
         self.merge_mode = merge_mode
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self._disc_params0 = init_disc_params(jax.random.PRNGKey(0), cfg.disc)
         self.last_phase_report = ""
+        self.last_phase_stats = {}
 
-        # extract the union of decoder layers and the discriminator's layer
+        # Multi-layer target models (legacy stack capability) ride the fused
+        # scan too: the scan's discriminator params/states are dicts keyed by
+        # layer — the shipped single-layer config is the 1-entry dict, whose
+        # compiled program is the same math as before. Matches the host
+        # Tracker's multilayer wiring (runtime/tracker.py:106-163).
+        self._multilayer = len(cfg.disc_layers) > 0
+        if self._multilayer:
+            from dataclasses import replace as _dc_replace
+            from ..models.resnet import resnet_out_channels
+            ch = resnet_out_channels(cfg.feature_extractor)
+            self._scan_disc_cfgs = {
+                L: _dc_replace(cfg.disc, in_channels=ch[L], layer=L)
+                for L in cfg.disc_layers}
+            self._disc_params0 = ml_init_params(jax.random.PRNGKey(0),
+                                                self._scan_disc_cfgs)
+        else:
+            self._scan_disc_cfgs = {cfg.disc.layer: cfg.disc}
+            self._disc_params0 = {cfg.disc.layer: init_disc_params(
+                jax.random.PRNGKey(0), cfg.disc)}
+        # score-list order must match the host's ml_disc_apply (sorted names)
+        self._disc_layers = tuple(sorted(self._scan_disc_cfgs))
+
+        # extract the union of decoder layers and the discriminator layers
         # (they can differ, e.g. disc on layer3 — the host Tracker supports it)
-        cfgl = tuple(sorted(set(cfg.refnet_layers) | {cfg.disc.layer},
+        cfgl = tuple(sorted(set(cfg.refnet_layers) | set(self._disc_layers),
                             reverse=True))
 
         @jax.jit
@@ -102,11 +125,13 @@ class BatchedSequenceTracker:
         @jax.jit
         def _extract_disc_layer(bb, images):
             return extract_features(bb, images, self.arch,
-                                    output_layers=[cfg.disc.layer], dtype=self.dtype)
+                                    output_layers=list(self._disc_layers),
+                                    dtype=self.dtype)
 
         @jax.jit
-        def _init_disc(p0, ft, lb):
-            return disc_init(p0, ft, lb, self.disc_cfg)
+        def _init_disc(p0, fts, lb):
+            """One target model per disc layer: {L: params}, {L: states}."""
+            return ml_disc_init(p0, fts, lb, self._scan_disc_cfgs)
 
         self._extract = _extract
         self._extract_disc_layer = _extract_disc_layer
@@ -124,6 +149,9 @@ class BatchedSequenceTracker:
     def _make_scan(self):
         cfg = self.cfg
         disc_cfg = self.disc_cfg
+        cfgs = self._scan_disc_cfgs         # {layer: DiscConfig}
+        DL = self._disc_layers              # sorted layer names (score order)
+        single = len(DL) == 1
         layers = cfg.refnet_layers
         online = self.merge_mode == "online"
         dtype = self.dtype  # decoder compute dtype (bf16 on TPU); the
@@ -132,17 +160,20 @@ class BatchedSequenceTracker:
         # shared by BOTH scan programs below — the memory-insert and re-solve
         # semantics ARE the bit-exactness contract between the per-frame and
         # windowed paths, so they exist exactly once
-        def insert_sample(state, c, ty, e, act):
-            """Row-gated memory insert (on >=10 fg px) + frame counter
-            advance for every tracked frame (the reference increments in
-            apply regardless of mask quality)."""
-            label, pw = online_update_weights(ty, disc_cfg)
-            mem = memory_update(state.memory, c, label, pw,
-                                disc_cfg.learning_rate, enabled=e)
-            return state._replace(
-                memory=mem, frame_num=state.frame_num + act.astype(jnp.int32))
+        def insert_sample(cfg_l):
+            def f(state, c, ty, e, act):
+                """Row-gated memory insert (on >=10 fg px) + frame counter
+                advance for every tracked frame (the reference increments in
+                apply regardless of mask quality)."""
+                label, pw = online_update_weights(ty, cfg_l)
+                mem = memory_update(state.memory, c, label, pw,
+                                    cfg_l.learning_rate, enabled=e)
+                return state._replace(
+                    memory=mem,
+                    frame_num=state.frame_num + act.astype(jnp.int32))
+            return f
 
-        def resolve_due(params, states, due):
+        def resolve_due(params, states, due, cfg_l):
             """Filter re-solve where `due`; runs when ANY lane is due, lanes
             select their own result. Only filter params and CG state change —
             the memory buffers stay out of the select (no 100MB-scale
@@ -150,7 +181,7 @@ class BatchedSequenceTracker:
             def resolve(args):
                 params_, cg = args
                 new_p, new_cg = jax.vmap(
-                    lambda p, s: filter_resolve(p, s, disc_cfg))(
+                    lambda p, s: filter_resolve(p, s, cfg_l))(
                     params_, states)
                 sel = lambda a, b: jnp.where(
                     due.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
@@ -160,25 +191,62 @@ class BatchedSequenceTracker:
             return lax.cond(jnp.any(due), resolve, lambda a: a,
                             (params, states.cg))
 
+        def project_all(feats_all, disc_params):
+            """Per-object projection of all frames per disc layer (fixed
+            after init) — inside the program so it fuses with the scan's
+            input pipeline. {L: (T, N, h_L, w_L, d)}."""
+            return {L: jnp.einsum(
+                "thwc,ncd->tnhwd", feats_all[L].astype(jnp.float32),
+                disc_params[L].project[:, 0, 0]) for L in DL}
+
+        def classify_frame(cft, params):
+            """cft: {L: (N, h, w, d)} -> [per-layer (N, h, w, 1) scores] in
+            sorted-layer order (matches the host's ml_disc_apply).
+            tapsum=False: bit-identical scores to the host loop's disc_apply
+            on every backend (the fast-path dispatch would otherwise diverge
+            in the last ulp for c_channels <= 48 configs on TPU — advisor
+            r2); the filter conv runs at score resolution, where the
+            lowering choice is not measurable."""
+            scores = []
+            for L in DL:
+                s = jax.vmap(
+                    lambda c, p: conv2d(c[None], p.filter, tapsum=False)[0])(
+                    cft[L], params[L])
+                if cfgs[L].clamp_output:
+                    s = jnp.clip(s, -0.1, 1.2)
+                scores.append(s)
+            return scores
+
+        def update_states(states, cft, train_y, enough, active):
+            """Memory insert for every layer's model with the shared merged
+            mask (the legacy stack updates all layers in lock-step,
+            ytvos_validation/discriminator.py:291-303)."""
+            return {L: jax.vmap(insert_sample(cfgs[L]))(
+                states[L], cft[L], train_y, enough, active) for L in DL}
+
+        def resolve_all(params, states, due):
+            new_p, new_s = {}, {}
+            for L in DL:
+                p, cg = resolve_due(params[L], states[L], due, cfgs[L])
+                new_p[L] = p
+                new_s[L] = states[L]._replace(cg=cg)
+            return new_p, new_s
+
         def scan_track(refiner, feats_all, disc_params, disc_states,
                        start_frames, start_masks, obj_ids_lut, im_size):
             """:param feats_all:      {L: (T', h, w, c)} frames 1..T'
-            :param disc_params:    DiscParams batched over N
-            :param disc_states:    DiscState batched over N
+            :param disc_params:    {layer: DiscParams batched over N}
+            :param disc_states:    {layer: DiscState batched over N}
             :param start_frames:   (N,) int32 per-object start frame indices
             :param start_masks:    (N, H, W) float32 ground-truth start masks
             :param obj_ids_lut:    (N+1,) int32 labels LUT
             :return: per-frame outputs (labels or raw soft rows), final state
             """
-            N = disc_params.project.shape[0]
+            N = disc_params[DL[0]].project.shape[0]
             refiner_c = jax.tree.map(
                 lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating)
                 else a, refiner)
-            # per-object projection of all frames (fixed after init) — inside
-            # the program so it fuses with the scan's input pipeline
-            compressed_all = jnp.einsum(
-                "thwc,ncd->tnhwd", feats_all[disc_cfg.layer].astype(jnp.float32),
-                disc_params.project[:, 0, 0])
+            compressed_all = project_all(feats_all, disc_params)
 
             def frame_step(carry, xs):
                 params, states, t = carry
@@ -189,10 +257,7 @@ class BatchedSequenceTracker:
 
                 # classify + refine every object (inactive lanes are wasted
                 # compute but keep shapes static; N is small)
-                scores = jax.vmap(lambda c, p: conv2d(c[None], p.filter)[0])(
-                    cft, params)
-                if disc_cfg.clamp_output:
-                    scores = jnp.clip(scores, -0.1, 1.2)
+                score_list = classify_frame(cft, params)
                 # object-independent TSE reductions run once on the frame and
                 # broadcast at 32 channels — not the raw pyramid — across the
                 # N object lanes (bit-identical; seg_network_reduce docstring)
@@ -202,7 +267,9 @@ class BatchedSequenceTracker:
                 redN = {L: (jnp.broadcast_to(h, (N,) + h.shape[1:]),
                             jnp.broadcast_to(hp, (N,) + hp.shape[1:]))
                         for L, (h, hp) in red1.items()}
-                logits = seg_network_apply(refiner_c, scores.astype(dtype),
+                scores = [s.astype(dtype) for s in score_list]
+                logits = seg_network_apply(refiner_c,
+                                           scores[0] if single else scores,
                                            None, im_size, layers=layers,
                                            reduced=redN)
                 y = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))  # (N, H, W)
@@ -226,22 +293,21 @@ class BatchedSequenceTracker:
                        if online else rows)
 
                 if not disc_cfg.update_filters:  # static: no online updates
-                    states = states._replace(
-                        frame_num=states.frame_num + active.astype(jnp.int32))
+                    states = {L: states[L]._replace(
+                        frame_num=states[L].frame_num + active.astype(jnp.int32))
+                        for L in DL}
                     return (params, states, t), out
 
                 # memory insert per active object (gated on >=10 fg px)
                 train_y = merged[1:][..., None]             # (N, H, W, 1)
                 enough = ((train_y > 0.5).sum(axis=(1, 2, 3)) >= 10) & active
-                states = jax.vmap(insert_sample)(states, cft, train_y, enough,
-                                                 active)
+                states = update_states(states, cft, train_y, enough, active)
 
                 # filter re-solve on each object's own cadence (objects
                 # entering mid-sequence have different parities)
-                due = active & (states.frame_num % disc_cfg.train_skipping == 0) \
-                    & enough
-                params, cg = resolve_due(params, states, due)
-                states = states._replace(cg=cg)
+                due = active & (states[DL[0]].frame_num
+                                % disc_cfg.train_skipping == 0) & enough
+                params, states = resolve_all(params, states, due)
                 return (params, states, t), out
 
             (params, states, _), outs = lax.scan(
@@ -264,33 +330,37 @@ class BatchedSequenceTracker:
             reference schedule (model/discriminator.py:221-227). The host
             picks this program for aligned sequences (all of DAVIS; the
             per-frame scan remains the general path)."""
-            N = disc_params.project.shape[0]
+            N = disc_params[DL[0]].project.shape[0]
             refiner_c = jax.tree.map(
                 lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating)
                 else a, refiner)
-            compressed_all = jnp.einsum(
-                "thwc,ncd->tnhwd", feats_all[disc_cfg.layer].astype(jnp.float32),
-                disc_params.project[:, 0, 0])
-            T = compressed_all.shape[0]
+            compressed_all = project_all(feats_all, disc_params)
+            T = compressed_all[DL[0]].shape[0]
             nw = T // W
             feats_w = {L: v.reshape((nw, W) + v.shape[1:])
                        for L, v in feats_all.items()}
-            comp_w = compressed_all.reshape((nw, W) + compressed_all.shape[1:])
+            comp_w = {L: v.reshape((nw, W) + v.shape[1:])
+                      for L, v in compressed_all.items()}
 
             def window_step(carry, xs):
                 params, states, t = carry
-                feats_t, cft = xs                   # {L:(W,h,w,c)}, (W,N,h,w,d)
+                feats_t, cft = xs           # {L:(W,h,w,c)}, {L:(W,N,h,w,d)}
                 tw = t + 1 + jnp.arange(W, dtype=jnp.int32)        # (W,)
                 active = tw[:, None] > start_frames[None, :]       # (W, N)
                 fresh = tw[:, None] == start_frames[None, :]
 
                 # one batched classify+decode for the whole window: conv batch
                 # W*N instead of N fills the MXU far better at these channel
-                # counts and amortises per-op overhead 8x
-                scores = jax.vmap(lambda c, p: conv2d(c, p.filter),
-                                  in_axes=(1, 0), out_axes=1)(cft, params)
-                if disc_cfg.clamp_output:
-                    scores = jnp.clip(scores, -0.1, 1.2)
+                # counts and amortises per-op overhead 8x. tapsum=False: score
+                # parity with disc_apply on every backend (see classify_frame)
+                sflat_list = []
+                for L in DL:
+                    s = jax.vmap(
+                        lambda c, p: conv2d(c, p.filter, tapsum=False),
+                        in_axes=(1, 0), out_axes=1)(cft[L], params[L])
+                    if cfgs[L].clamp_output:
+                        s = jnp.clip(s, -0.1, 1.2)
+                    sflat_list.append(s.reshape((W * N,) + s.shape[2:]))
                 # shared TSE reductions: once per frame (batch W), broadcast
                 # across object lanes at 32 channels instead of broadcasting
                 # the raw pyramid (bit-identical; seg_network_reduce docstring)
@@ -302,8 +372,9 @@ class BatchedSequenceTracker:
                              jnp.broadcast_to(hp[:, None], (W, N) + hp.shape[1:])
                              .reshape((W * N,) + hp.shape[1:]))
                          for L, (h, hp) in redW.items()}
-                sflat = scores.reshape((W * N,) + scores.shape[2:])
-                logits = seg_network_apply(refiner_c, sflat.astype(dtype),
+                scores = [s.astype(dtype) for s in sflat_list]
+                logits = seg_network_apply(refiner_c,
+                                           scores[0] if single else scores,
                                            None, im_size, layers=layers,
                                            reduced=redWN)
                 y = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
@@ -324,9 +395,9 @@ class BatchedSequenceTracker:
                        .astype(jnp.uint8) if online else rows)
 
                 if not disc_cfg.update_filters:
-                    states = states._replace(
-                        frame_num=states.frame_num
-                        + active.astype(jnp.int32).sum(axis=0))
+                    states = {L: states[L]._replace(
+                        frame_num=states[L].frame_num
+                        + active.astype(jnp.int32).sum(axis=0)) for L in DL}
                     return (params, states, t + W), out
 
                 train_y = merged[:, 1:][..., None]                 # (W,N,H,W,1)
@@ -334,15 +405,14 @@ class BatchedSequenceTracker:
 
                 def ins_step(st, xw):
                     c_t, ty_t, e_t, a_t = xw
-                    return jax.vmap(insert_sample)(st, c_t, ty_t, e_t, a_t), None
+                    return update_states(st, c_t, ty_t, e_t, a_t), None
 
                 states, _ = lax.scan(ins_step, states,
                                      (cft, train_y, enough, active))
 
-                due = active[-1] & (states.frame_num % disc_cfg.train_skipping
-                                    == 0) & enough[-1]
-                params, cg = resolve_due(params, states, due)
-                states = states._replace(cg=cg)
+                due = active[-1] & (states[DL[0]].frame_num
+                                    % disc_cfg.train_skipping == 0) & enough[-1]
+                params, states = resolve_all(params, states, due)
                 return (params, states, t + W), out
 
             (params, states, _), outs = lax.scan(
@@ -399,9 +469,19 @@ class BatchedSequenceTracker:
         objects.sort(key=lambda o: (o[1], o[0]))
         return objects
 
-    def run_sequence(self, sequence, speedrun: bool = False):
+    def run_sequence(self, sequence, speedrun: bool = False,
+                     soft: bool = False):
         """Track a sequence (mid-sequence object entry supported).
-        Returns (list of (H, W) uint8 label images, fps)."""
+        Returns (list of (H, W) uint8 label images, fps).
+
+        soft=True (merge_mode='deferred' only) returns the raw soft
+        foreground volume (T, N, H, W) float32 — per-object suppressed
+        probabilities with ground truth inserted at start frames — instead
+        of merged labels (the legacy stack's pre-merge artifact,
+        ytvos_validation/tracker.py:100-113)."""
+        if soft:
+            assert self.merge_mode == "deferred", \
+                "soft output is the deferred merge's pre-merge volume"
         images_np = np.stack([sequence[t][0] for t in range(len(sequence))])
         # frame-0 device copy must precede the warm-up: the device augmenter
         # consumes it, and a stale copy from a previous sequence would have
@@ -411,7 +491,7 @@ class BatchedSequenceTracker:
         if speedrun:
             # drain the warm-up's device work before the measured pass —
             # otherwise its scan still occupies the chip when the clock starts
-            jax.block_until_ready(self._run(images_np, sequence))
+            jax.block_until_ready(self._run(images_np, sequence, soft=soft))
 
         from ..utils.profiling import PhaseTimer
         timer = PhaseTimer(sync=False)
@@ -421,10 +501,14 @@ class BatchedSequenceTracker:
         # sequence.preload(device) precedes the timed loop,
         # model/tracker.py:88-91,130)
         t0 = time.time()
-        result = self._run(images_np, sequence, timer=timer, chunks=chunks)
+        result = self._run(images_np, sequence, timer=timer, chunks=chunks,
+                           soft=soft)
         jax.block_until_ready(result)
         fps = len(sequence) / max(time.time() - t0, 1e-9)
         self.last_phase_report = timer.report()
+        self.last_phase_stats = timer.stats()
+        if soft:
+            return np.asarray(result[0], np.float32), fps
         # downloads happen AFTER the clock (the reference also excludes file
         # output from its fps window, model/tracker.py:159-161). _run returns
         # stacked device arrays — per-frame slicing here is a host-side numpy
@@ -435,7 +519,8 @@ class BatchedSequenceTracker:
             outputs.extend(list(a) if a.ndim == 3 else [a])
         return outputs, fps
 
-    def _run(self, images_np, sequence, timer=None, chunks=None):
+    def _run(self, images_np, sequence, timer=None, chunks=None,
+             soft: bool = False):
         from ..utils.profiling import PhaseTimer
         timer = timer or PhaseTimer(sync=False)
         T = images_np.shape[0]
@@ -494,8 +579,7 @@ class BatchedSequenceTracker:
                     ft_in = jnp.asarray(np.asarray(im_aug, np.uint8))
                     lb_in = jnp.asarray(np.asarray(lb_aug, np.uint8))
                 ft = self._extract_disc_layer(self.backbone, ft_in)
-                p, s = self._init_disc(self._disc_params0,
-                                       ft[self.disc_cfg.layer], lb_in)
+                p, s = self._init_disc(self._disc_params0, ft, lb_in)
             params_list.append(p)
             states_list.append(s)
 
@@ -538,6 +622,8 @@ class BatchedSequenceTracker:
                 [jnp.zeros((1,) + outs.shape[1:], outs.dtype), outs[:n_track]])
             for k, (obj_id, start_idx, mask, _) in enumerate(objects):
                 fg = fg.at[start_idx, k].set(jnp.asarray(mask))
+            if soft:
+                return (fg[:T],)
             labels = self._merge_volume(fg, lut)
             labels.block_until_ready()
         return (labels[:T],)

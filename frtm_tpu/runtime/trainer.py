@@ -136,17 +136,40 @@ class TrainerModel:
         def _init_disc(p0, ft, lb):
             return disc_init(p0, ft, lb, self.disc_cfg)
 
+        # cold-start path: ALL of a batch's cache-miss init solves as ONE
+        # vmapped GN-CG program instead of B serial solves (the analog of the
+        # reference's 5-day cold start, /root/reference/README.md:144-145;
+        # its _initialize loops one Discriminator.init per element,
+        # model/training_model.py:117-148)
+        @jax.jit
+        def _init_disc_batch(p0, ft, lb):
+            return jax.vmap(lambda f, l: disc_init(p0, f, l, self.disc_cfg))(
+                ft, lb)
+
         self._extract_disc_layer = _extract_disc_layer
         self._init_disc = _init_disc
+        self._init_disc_batch = _init_disc_batch
 
         cfg_layers = cfg.refnet_layers
 
-        def train_step(refiner, opt_state, bb, disc_batch, images, labels, tx):
+        def train_step(refiner, opt_state, bb, disc_batch, images, labels,
+                       mask, tx):
             """images: (T, B, H, W, 3); labels: (T, B, H, W, 1); frame 0 is the
-            init frame (already consumed by disc init). Returns new refiner,
-            opt_state, stats."""
+            init frame (already consumed by disc init). mask: (B,) float32
+            sample validity — the final partial batch of an epoch is padded to
+            the static batch size by cyclically repeating its samples, and pad
+            rows carry mask 0 so loss/accuracy/gradients are exactly those of
+            the real remainder (the reference's DataLoader trains on the
+            remainder, drop_last=False, /root/reference/lib/training.py:121-122;
+            static TPU shapes forbid a smaller last program). BN batch
+            statistics DO see the pad rows; since pads are repeats of the
+            remainder, the stats are the remainder's own, reweighted by at
+            most one extra repeat per sample — the one (documented) deviation
+            from the reference's remainder-batch statistics. Returns new
+            refiner, opt_state, stats."""
             T, B = images.shape[0], images.shape[1]
             im_size = images.shape[2:4]
+            n_valid = jnp.maximum(mask.sum(), 1.0)
 
             def loss_fn(refiner):
                 total = 0.0
@@ -173,12 +196,16 @@ class TrainerModel:
                     y = labels[t].astype(jnp.float32)
                     eps = 1e-7
                     p = jnp.clip(pred, eps, 1 - eps)
-                    bce = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p)).mean()
-                    total = total + bce
-                    accs.append(iou_accuracy(pred[..., 0], y[..., 0]))
+                    # per-sample pixel-mean BCE, masked mean over the batch
+                    # (identical to the reference's batch mean when mask is
+                    # all-ones: every sample has the same pixel count)
+                    bce_s = -(y * jnp.log(p)
+                              + (1 - y) * jnp.log(1 - p)).mean(axis=(1, 2, 3))
+                    total = total + (bce_s * mask).sum() / n_valid
+                    accs.append(iou_accuracy(pred[..., 0], y[..., 0]) * mask)
                     bn_final = bn_updates  # last frame's dicts hold the
                     # fully-chained running stats (computed FROM ref_t)
-                acc = jnp.concatenate(accs).mean()
+                acc = jnp.stack(accs).sum() / (n_valid * (T - 1))
                 return total, (acc, bn_final)
 
             (loss, (acc, bn_updates)), grads = jax.value_and_grad(
@@ -196,25 +223,79 @@ class TrainerModel:
     def build_disc_batch(self, first_images, first_labels, specs):
         """Per batch element: cache hit -> load frozen params; miss -> augment,
         extract, GN-CG init, save (reference training_model.py:117-148).
-        Returns (stacked DiscParams (B, ...), cache_hits)."""
+        Returns (stacked DiscParams (B, ...), cache_hits).
+
+        Cold-start misses are solved TOGETHER: one chunked feature-extraction
+        dispatch over every miss's augmented frames, then one vmapped GN-CG
+        init program over the miss axis (padded to a power of two so program
+        shapes are shared) — instead of the reference's one-solve-per-element
+        loop. Duplicate specs in one batch (partial-batch pads) are solved
+        once and counted as hits like the reference's immediate-save-then-
+        load-again behavior would."""
         L = self.disc_cfg.layer
-        params_list = []
+        params_list = [None] * len(specs)
         hits = 0
+        unique_misses = {}   # (seq, frame0, obj) -> [batch indices]
         for i, spec in enumerate(specs):
             cached = self.cache.load(spec, L)
             if cached is not None:
-                params_list.append(cached)
+                params_list[i] = cached
                 hits += 1
                 continue
-            rng = np.random.RandomState(0)
-            im_aug, lb_aug = self.augmenter.augment_first_frame(
-                np.asarray(first_images[i]), np.asarray(first_labels[i]), rng)
-            ft = self._extract_disc_layer(self.backbone, jnp.asarray(im_aug))[L]
-            params, _ = self._init_disc(self._disc_params0, ft, jnp.asarray(lb_aug))
-            self.cache.save(spec, L, params)
-            params_list.append(params)
+            key = (spec.seq_name, spec.frame0_id, spec.obj_id)
+            if key in unique_misses:
+                hits += 1  # same-batch duplicate: the reference would re-read
+                # the file its first occurrence just saved
+            unique_misses.setdefault(key, []).append(i)
+
+        if unique_misses:
+            keys = list(unique_misses)
+            ims, lbs = [], []
+            for k, key in enumerate(keys):
+                i = unique_misses[key][0]
+                rng = np.random.RandomState(0)
+                im_aug, lb_aug = self.augmenter.augment_first_frame(
+                    np.asarray(first_images[i]), np.asarray(first_labels[i]),
+                    rng, copy=(k != len(keys) - 1))
+                ims.append(np.asarray(im_aug, np.uint8))
+                lbs.append(np.asarray(lb_aug, np.uint8))
+            M = len(keys)
+            Mp = 1 << (M - 1).bit_length()  # program-shape bucket
+            ims += [ims[-1]] * (Mp - M)
+            lbs += [lbs[-1]] * (Mp - M)
+            K = ims[0].shape[0]
+            flat = np.concatenate(ims)                      # (Mp*K, H, W, 3)
+            ft = self._extract_flat(flat)                   # (Mp*K, h, w, C)
+            ft = ft.reshape((Mp, K) + ft.shape[1:])
+            params_b, _ = self._init_disc_batch(
+                self._disc_params0, ft, jnp.asarray(np.stack(lbs)))
+            for k, key in enumerate(keys):
+                p = jax.tree.map(lambda x: x[k], params_b)
+                self.cache.save(specs[unique_misses[key][0]], L, p)
+                for i in unique_misses[key]:
+                    params_list[i] = p
         disc_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
         return disc_batch, hits
+
+    def _extract_flat(self, frames_np, chunk: int = 32):
+        """Disc-layer features for a flat frame batch, extracted in fixed-size
+        chunks (bounds activation memory; pads the tail so at most two
+        program shapes exist)."""
+        L = self.disc_cfg.layer
+        N = frames_np.shape[0]
+        if N <= chunk:
+            return self._extract_disc_layer(self.backbone,
+                                            jnp.asarray(frames_np))[L]
+        outs = []
+        for s in range(0, N, chunk):
+            part = frames_np[s:s + chunk]
+            pad = chunk - part.shape[0]
+            if pad:
+                part = np.concatenate(
+                    [part, np.repeat(part[-1:], pad, axis=0)])
+            f = self._extract_disc_layer(self.backbone, jnp.asarray(part))[L]
+            outs.append(f[:chunk - pad] if pad else f)
+        return jnp.concatenate(outs)
 
 
 class Trainer:
@@ -256,9 +337,9 @@ class Trainer:
                                                      mesh, self.tx)
         else:
             self._jit_step = jax.jit(
-                lambda refiner, opt_state, bb, disc, images, labels:
+                lambda refiner, opt_state, bb, disc, images, labels, mask:
                 self.model._train_step(refiner, opt_state, bb, disc, images,
-                                       labels, self.tx))
+                                       labels, mask, self.tx))
 
         if load_latest:
             ckpts = sorted(self.checkpoints_path.glob(f"{name}_ep*.npz"))
@@ -283,18 +364,28 @@ class Trainer:
     # -- training loop ------------------------------------------------------
 
     def _batches(self, dataset):
+        """Yields (images, labels, specs, mask). The final partial batch is
+        padded to batch_size by cyclically repeating its samples with mask 0
+        (the reference trains on the remainder — drop_last defaults False,
+        /root/reference/lib/training.py:121-122 — and static TPU shapes
+        forbid a smaller last program; the masked step makes loss/grads
+        exactly the remainder's, see TrainerModel.train_step)."""
         order = np.random.permutation(len(dataset))
-        for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
-            idx = order[start:start + self.batch_size]
+        for start in range(0, len(order), self.batch_size):
+            idx = list(order[start:start + self.batch_size])
+            n_real = len(idx)
+            idx += [idx[i % n_real] for i in range(self.batch_size - n_real)]
             samples = [dataset[int(i)] for i in idx]
             T = len(samples[0][0])
             images = np.stack([np.stack([s[0][t] for s in samples]) for t in range(T)])
             labels = np.stack([np.stack([s[1][t] for s in samples]) for t in range(T)])
             specs = SampleSpec.from_encoded([s[2] for s in samples])
+            mask = np.zeros(self.batch_size, np.float32)
+            mask[:n_real] = 1.0
             # native dtype (uint8 for real datasets): the device casts where
             # needed (extract_features normalises any 0-255 dtype, the loss
             # casts labels) and the tunnel uploads 4x fewer bytes than f32
-            yield images, labels, specs
+            yield images, labels, specs, mask
 
     def _tb_writer(self):
         """Optional TensorBoard writer (the reference logs per-epoch scalars
@@ -317,15 +408,17 @@ class Trainer:
 
             runtime = AverageMeter()
             t0 = None
-            n_batches = len(merged) // self.batch_size
-            for i, (images, labels, specs) in enumerate(self._batches(merged), 1):
+            n_batches = -(-len(merged) // self.batch_size)
+            for i, (images, labels, specs, mask) in enumerate(
+                    self._batches(merged), 1):
                 t0 = time.time() if t0 is None else t0
                 self.opt_state.hyperparams["learning_rate"] = jnp.asarray(self._lr())
                 disc_batch, hits = self.model.build_disc_batch(
                     images[0], labels[0], specs)
                 self.model.refiner, self.opt_state, stats = self._jit_step(
                     self.model.refiner, self.opt_state, self.model.backbone,
-                    disc_batch, jnp.asarray(images), jnp.asarray(labels))
+                    disc_batch, jnp.asarray(images), jnp.asarray(labels),
+                    jnp.asarray(mask))
                 jax.block_until_ready(self.model.refiner)
                 runtime.update(time.time() - t0)
                 t0 = time.time()

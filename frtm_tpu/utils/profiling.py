@@ -41,8 +41,20 @@ class PhaseTimer:
                          f" (cpu {c / n * 1000:.1f}ms/call)")
         return "\n".join(lines)
 
+    def stats(self):
+        """Programmatic phase stats (consumers must not scrape report() —
+        its human format changes): {phase: {total_s, ms_per_call,
+        cpu_ms_per_call, count}}."""
+        return {name: {
+            "total_s": self.totals[name],
+            "ms_per_call": self.totals[name] / self.counts[name] * 1000.0,
+            "cpu_ms_per_call": self.cpu_totals[name] / self.counts[name] * 1000.0,
+            "count": self.counts[name],
+        } for name in self.totals}
+
     def reset(self):
         self.totals.clear()
+        self.cpu_totals.clear()
         self.counts.clear()
 
 

@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--size", type=int, nargs=2, default=(120, 160))
     ap.add_argument("--min-j", type=float, default=None,
                     help="exit nonzero if mean J falls below this")
+    ap.add_argument("--compare-dtypes", action="store_true",
+                    help="also evaluate with compute_dtype='bfloat16' and "
+                         "report the f32-vs-bf16 mask IoU per sequence (the "
+                         "trained-refiner bound for the production TPU "
+                         "dtype; round-2 verdict #5)")
     args = ap.parse_args()
 
     import jax
@@ -84,7 +89,13 @@ def main():
                            aug_params=eval_aug_params(5))
         tracker = BatchedSequenceTracker(eval_cfg, backbone, trained_refiner,
                                          extract_chunk=8)
-        js = []
+        tracker_bf16 = None
+        if args.compare_dtypes:
+            from dataclasses import replace as _rp
+            tracker_bf16 = BatchedSequenceTracker(
+                _rp(eval_cfg, compute_dtype="bfloat16"), backbone,
+                trained_refiner, extract_chunk=8)
+        js, dtype_ious = [], []
         for s in range(args.eval_seqs):
             seq = make_moving_square_sequence(
                 n_frames=10, size=size, square=30, seed=1000 + s,
@@ -97,9 +108,22 @@ def main():
                 seq_js.append(j)
             js.append(float(np.mean(seq_js)))
             print(f"{seq.name}: J={js[-1]:.3f} ({fps:.1f} fps)")
+            if tracker_bf16 is not None:
+                out_bf, _ = tracker_bf16.run_sequence(seq)
+                ious = []
+                for t in range(1, len(seq)):
+                    a, b = outputs[t] == 1, out_bf[t] == 1
+                    u = (a | b).sum()
+                    ious.append((a & b).sum() / u if u else 1.0)
+                dtype_ious.append(float(np.min(ious)))
+                print(f"{seq.name}: f32-vs-bf16 mask IoU min over frames = "
+                      f"{dtype_ious[-1]:.4f}")
 
         mean_j = float(np.mean(js))
         print(f"mean J over {args.eval_seqs} held-out sequences: {mean_j:.3f}")
+        if dtype_ious:
+            print(f"f32-vs-bf16 trained-refiner mask IoU: min "
+                  f"{min(dtype_ious):.4f} over all frames/sequences")
         if args.min_j is not None and mean_j < args.min_j:
             print(f"FAIL: J {mean_j:.3f} < {args.min_j}")
             sys.exit(1)

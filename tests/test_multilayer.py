@@ -58,6 +58,43 @@ def test_two_layer_models_and_decoder(rng):
         assert int(states2[L].memory.current_size) == K + 1
 
 
+@pytest.mark.slow
+def test_two_layer_fused_scan_matches_host_loop():
+    """Multi-layer target models ride the fused scan (round-2 verdict #8):
+    the scan's dict-of-layers carry must reproduce the host Tracker's
+    multilayer runtime frame-for-frame."""
+    from frtm_tpu.config import eval_config
+    from frtm_tpu.models import init_resnet, init_seg_network, resnet_out_channels
+    from frtm_tpu.runtime.tracker import Tracker
+    from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
+    from frtm_tpu.data.synthetic import make_moving_square_sequence
+
+    arch = "resnet18"
+    cfg = eval_config(arch, fast=True, num_aug=3)
+    disc = replace(cfg.disc, init_iters=(3, 5), update_iters=(3,),
+                   memory_size=8, c_channels=16, train_skipping=2)
+    cfg = replace(cfg, disc=disc, disc_layers=("layer4", "layer3"))
+    backbone = init_resnet(jax.random.PRNGKey(1), arch)
+    ch = {L: c for L, c in resnet_out_channels(arch).items()
+          if L in cfg.refnet_layers}
+    refiner = init_seg_network(jax.random.PRNGKey(2), ch,
+                               in_channels=len(cfg.disc_layers),
+                               use_bn=cfg.refnet_use_bn)
+
+    seq = make_moving_square_sequence(n_frames=6, size=(96, 128), square=24,
+                                      seed=2)
+    host = Tracker(cfg, backbone, refiner)
+    out_host, _ = host.run_sequence(seq)
+    fused = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4)
+    out_fused, _ = fused.run_sequence(seq)
+
+    assert len(out_host) == len(out_fused) == 6
+    for t, (a, b) in enumerate(zip(out_host, out_fused)):
+        # identical math modulo XLA fusion differences on borderline pixels
+        frac_diff = np.mean(a != b)
+        assert frac_diff < 0.005, (t, frac_diff)
+
+
 def test_bicubic_upsampler_style(rng):
     ft = {"layer5": 32, "layer4": 16}
     dec = init_seg_network(jax.random.PRNGKey(0), ft)

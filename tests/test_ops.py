@@ -132,6 +132,63 @@ def test_warp_identity(rng):
         np.testing.assert_allclose(got, x, atol=1e-4, err_msg=mode)
 
 
+def test_remap_matches_cv2(rng):
+    """Coordinate-map warp parity with cv2.remap (the reference native
+    extension exposes `remap`, nppig.cpp:119-169, though its Python never
+    calls it — the capability exists here with tested semantics)."""
+    import cv2
+    from frtm_tpu.ops.warp import remap
+    x = rng.rand(29, 35, 2).astype(np.float32) * 255
+    map_x = (rng.rand(21, 26) * 40 - 3).astype(np.float32)  # incl. out-of-bounds
+    map_y = (rng.rand(21, 26) * 34 - 3).astype(np.float32)
+    got = np.asarray(remap(jnp.asarray(x), map_x, map_y, "bilinear"))
+
+    # exact float bilinear reference (cv2.remap quantizes weights to 5-bit
+    # fixed point, so it is only a loose sanity anchor below)
+    x0 = np.floor(map_x).astype(int)
+    y0 = np.floor(map_y).astype(int)
+    fx, fy = map_x - x0, map_y - y0
+    acc = np.zeros(got.shape, np.float32)
+    for dy, wy in ((0, 1 - fy), (1, fy)):
+        for dx, wx in ((0, 1 - fx), (1, fx)):
+            xi, yi = x0 + dx, y0 + dy
+            val = x[np.clip(yi, 0, 28), np.clip(xi, 0, 34)]
+            inb = (xi >= 0) & (xi <= 34) & (yi >= 0) & (yi <= 28)
+            acc += (wx * wy * inb)[..., None] * val
+    np.testing.assert_allclose(got, acc, atol=1e-2)
+
+    want = cv2.remap(x, map_x, map_y, cv2.INTER_LINEAR,
+                     borderMode=cv2.BORDER_CONSTANT, borderValue=0.0)
+    inb = (map_x >= 1) & (map_x < 34) & (map_y >= 1) & (map_y < 28)
+    err = np.abs(got - want)[inb]
+    assert np.percentile(err, 99) < 255 / 32, np.percentile(err, 99)
+
+
+def test_warp_perspective_division(rng):
+    """warp_perspective must honor the homogeneous division: a pure
+    perspective row must NOT behave like its affine truncation."""
+    from frtm_tpu.ops.warp import warp_perspective
+    x = rng.rand(24, 24, 1).astype(np.float32)
+    H = np.array([[1.0, 0, 0], [0, 1.0, 0], [0.01, 0.005, 1.0]])
+    got = np.asarray(warp_perspective(jnp.asarray(x), H, (24, 24), "bilinear"))
+    # reference sampling through an explicit inverse-map remap
+    import cv2
+    Hinv = np.linalg.inv(H).astype(np.float32)
+    ys, xs = np.mgrid[0:24, 0:24].astype(np.float32)
+    w = Hinv[2, 0] * xs + Hinv[2, 1] * ys + Hinv[2, 2]
+    mx = (Hinv[0, 0] * xs + Hinv[0, 1] * ys + Hinv[0, 2]) / w
+    my = (Hinv[1, 0] * xs + Hinv[1, 1] * ys + Hinv[1, 2]) / w
+    want = cv2.remap(x[..., 0], mx, my, cv2.INTER_LINEAR,
+                     borderMode=cv2.BORDER_CONSTANT, borderValue=0.0)
+    err = np.abs(got[..., 0] - want)
+    assert np.percentile(err, 99) < 0.05, np.percentile(err, 99)
+    # and it must differ from the affine truncation (the division matters)
+    Haff = H.copy()
+    Haff[2] = [0, 0, 1]
+    aff = np.asarray(warp_perspective(jnp.asarray(x), Haff, (24, 24), "bilinear"))
+    assert np.abs(got - aff).max() > 0.05
+
+
 def test_conv2d_tapsum_matches_direct_lowering(rng):
     """The small-channel 3x3 fast path (9 shifted-slice matmuls, ops/conv.py
     _conv3x3_tapsum) must agree with the direct conv lowering at the decoder's

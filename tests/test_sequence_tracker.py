@@ -103,6 +103,43 @@ def test_windowed_scan_matches_per_frame_scan():
         assert frac_diff < 0.005, (t, frac_diff)
 
 
+def test_windowed_scan_smoke_fast():
+    """Non-slow windowed-path gate (advisor r2: the only windowed-vs-per-frame
+    parity test was slow, so the fast gate never compiled window_track). A
+    tiny aligned sequence must route to the windowed program and match the
+    per-frame scan."""
+    seq = make_moving_square_sequence(n_frames=5, size=(48, 64), square=14,
+                                      seed=3)
+    cfg = eval_config("resnet18", fast=True, num_aug=2)
+    cfg = replace(cfg, disc=replace(
+        cfg.disc, init_iters=(2,), update_iters=(2,), memory_size=4,
+        c_channels=8, train_skipping=2))
+    backbone = init_resnet(jax.random.PRNGKey(1), "resnet18")
+    ch = {L: c for L, c in resnet_out_channels("resnet18").items()
+          if L in cfg.refnet_layers}
+    refiner = init_seg_network(jax.random.PRNGKey(2), ch,
+                               use_bn=cfg.refnet_use_bn)
+
+    windowed = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4,
+                                      scan_bucket=2)
+
+    def _fail(*a, **k):
+        raise AssertionError("aligned sequence should take the windowed path")
+
+    windowed._scan_track = _fail  # prove the routing picks window_track
+    out_w, _ = windowed.run_sequence(seq)
+
+    perframe = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4,
+                                      scan_bucket=2)
+    perframe._window_track = perframe._scan_track  # force the general program
+    out_f, _ = perframe.run_sequence(seq)
+
+    assert len(out_w) == len(out_f) == 5
+    for t, (a, b) in enumerate(zip(out_w, out_f)):
+        frac_diff = np.mean(a != b)
+        assert frac_diff < 0.005, (t, frac_diff)
+
+
 @pytest.mark.slow
 def test_scan_tracker_deferred_merge_runs():
     """Legacy YTVOS semantics: whole-sequence post-merge with GT insertion."""
@@ -195,14 +232,15 @@ def test_sharded_train_step_matches_single_device():
     opt_state = tx.init(refiner)
 
     mesh = make_mesh(8)
+    mask = jnp.ones((B,), jnp.float32)
     sharded = make_sharded_train_step(model._train_step, mesh, tx)
-    single = jax.jit(lambda r, o, bb, d, im, lb:
-                     model._train_step(r, o, bb, d, im, lb, tx))
+    single = jax.jit(lambda r, o, bb, d, im, lb, m:
+                     model._train_step(r, o, bb, d, im, lb, m, tx))
 
     r_sh, o_sh, st_sh = sharded(refiner, opt_state, backbone, disc_batch,
-                                images, labels)
+                                images, labels, mask)
     r_1, o_1, st_1 = single(refiner, opt_state, backbone, disc_batch,
-                            images, labels)
+                            images, labels, mask)
 
     # f32 reduction-order noise: the sharded step sums per-device partials
     # then all-reduces, the single program sums over the whole batch at once.
