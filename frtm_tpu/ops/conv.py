@@ -23,6 +23,7 @@ _DN = ("NHWC", "HWIO", "NHWC")
 # 16-33 channel convs take this path; backbone/solver convs (>=64ch) keep the
 # native conv lowering, which wins once the contraction fills the MXU.
 _TAPSUM_MAX_CH = 48
+_WFOLD_MAX_CIN = 32
 
 
 @lru_cache(maxsize=8)
@@ -107,7 +108,7 @@ def conv2d(x, w, b=None, stride: int = 1, dilation: int = 1, precision=None,
     kh, kw = w.shape[0], w.shape[1]
     if (tapsum and kh == 3 and kw == 3 and stride == 1 and dilation == 1
             and x.ndim == 4):
-        if w.shape[3] == 1 and w.shape[2] <= 32:
+        if w.shape[3] == 1 and w.shape[2] <= _WFOLD_MAX_CIN:
             y = _conv3x3_wfold(x, w, precision=precision)
             return y if b is None else y + b
         if max(w.shape[2], w.shape[3]) <= _TAPSUM_MAX_CH:

@@ -38,31 +38,57 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         n_dev = int(np.prod(list(mesh.shape.values())))
         self.n_devices = n_dev
 
-        # the general per-frame program: batched sequences have arbitrary
-        # start-frame phases, so the aligned-only windowed variant is unsafe
-        scan_fn, _ = self._make_scan()
+        # two vmapped programs: the general per-frame scan (safe for any
+        # start-frame phases) and the windowed frame-parallel program, used
+        # when EVERY sequence in a group is re-solve-aligned (every object's
+        # start frame ≡ 0 mod train_skipping — all of DAVIS). The windowed
+        # program batches each window's decode W*N-wide exactly like the
+        # single-sequence fast path; vmapping only the per-frame scan was
+        # measured ~2.3x slower per sequence on v5e (97.8 fps aggregate at
+        # B=2 vs ~150 fps single-sequence windowed).
+        scan_fn, window_fn = self._make_scan()
         self._raw_vscan = jax.vmap(scan_fn,
                                    in_axes=(None, 0, 0, 0, 0, 0, 0, None))
+        self._raw_vwindow = jax.vmap(window_fn,
+                                     in_axes=(None, 0, 0, 0, 0, 0, 0, None))
         self._seq_sh = NamedSharding(mesh, P("data"))
         self._repl = NamedSharding(mesh, P())
         self._vscan_cache = {}
+        # in-place row insert for assembling the (B, T, ...) feature buffers:
+        # jnp.stack would hold every per-sequence pyramid AND the stacked copy
+        # alive at once (2x a multi-GB allocation at DAVIS scale — measured
+        # OOM on a 16 GB v5e at B=2 with the rn101 bf16 pyramid). The donated
+        # buffer makes it a true in-place write, peak = buffer + one sequence.
+        self._insert_row = jax.jit(
+            lambda buf, x, i: jax.lax.dynamic_update_slice(
+                buf, x[None].astype(buf.dtype), (i,) + (0,) * x.ndim),
+            donate_argnums=0)
+        self._copy_row = jax.jit(
+            lambda buf, src, dst: jax.lax.dynamic_update_slice(
+                buf, jax.lax.dynamic_slice_in_dim(buf, src, 1, 0),
+                (dst,) + (0,) * (buf.ndim - 1)),
+            donate_argnums=0)
 
-    def _get_vscan(self, im_size):
-        """jitted sharded vmapped scan, one program per image size (pjit
-        cannot route static kwargs alongside in_shardings, so im_size is
-        closed over)."""
-        if im_size not in self._vscan_cache:
-            raw = self._raw_vscan
+    def _get_vscan(self, im_size, windowed: bool = False):
+        """jitted sharded vmapped scan, one program per (image size,
+        windowed) pair (pjit cannot route static kwargs alongside
+        in_shardings, so im_size is closed over). The feature buffers are
+        DONATED: they are multi-GB at DAVIS scale and dead after the call —
+        donation lets XLA reuse their HBM for the scan's working set."""
+        key = (im_size, windowed)
+        if key not in self._vscan_cache:
+            raw = self._raw_vwindow if windowed else self._raw_vscan
 
             def fn(refiner, feats, dp, ds, sf, sm, lut):
                 return raw(refiner, feats, dp, ds, sf, sm, lut, im_size)
 
-            self._vscan_cache[im_size] = jax.jit(
+            self._vscan_cache[key] = jax.jit(
                 fn,
                 in_shardings=(self._repl,) + (self._seq_sh,) * 6,
                 out_shardings=self._seq_sh,
+                donate_argnums=(1,),
             )
-        return self._vscan_cache[im_size]
+        return self._vscan_cache[key]
 
     # ------------------------------------------------------------------
 
@@ -215,7 +241,8 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         B = len(seq_preps)
         Bp = -(-B // self.n_devices) * self.n_devices  # pad to mesh multiple
 
-        feats_b, dp_b, ds_b, sf_b, sm_b, lut_b = [], [], [], [], [], []
+        feats_bufs = None  # {L: (Bp, bucket_T, h, w, c)} built in place
+        dp_b, ds_b, sf_b, sm_b, lut_b = [], [], [], [], []
         H, W = im_size
         for i in range(B):
             sequence, prep = seq_preps[i]
@@ -228,6 +255,19 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
                 feats_all = {L: jnp.concatenate(
                     [v, jnp.repeat(v[-1:], pad, axis=0)])
                     for L, v in feats_all.items()}
+            if feats_bufs is None:
+                zeros = jax.jit(
+                    lambda sd: {L: jnp.zeros((Bp, bucket_T) + tuple(s), d)
+                                for L, (s, d) in sd},
+                    static_argnums=0, out_shardings=self._seq_sh)
+                feats_bufs = zeros(tuple(
+                    (L, (tuple(v.shape[1:]), v.dtype))
+                    for L, v in sorted(feats_all.items())))
+                feats_bufs = dict(feats_bufs)
+            row = jnp.asarray(i, jnp.int32)
+            for L, v in feats_all.items():
+                feats_bufs[L] = self._insert_row(feats_bufs[L], v, row)
+            del feats_all  # only the (Bp, T) buffers stay resident
 
             # pad the object axis to the group width: padded objects have a
             # start frame beyond the sequence (never active), empty start
@@ -250,7 +290,6 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
             lut = np.zeros(n_obj + 1, np.int32)
             lut[1:n_real + 1] = [o[0] for o in prep["objects"]]
 
-            feats_b.append(feats_all)
             dp_b.append(disc_params)
             ds_b.append(disc_states)
             sf_b.append(sf)
@@ -259,12 +298,24 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
 
         for i in range(B, Bp):  # mesh-multiple padding: reuse the last
             # sequence's already-built arrays (outputs are dropped)
-            for lst in (feats_b, dp_b, ds_b, sf_b, sm_b, lut_b):
+            for L in feats_bufs:
+                feats_bufs[L] = self._copy_row(
+                    feats_bufs[L], jnp.asarray(B - 1, jnp.int32),
+                    jnp.asarray(i, jnp.int32))
+            for lst in (dp_b, ds_b, sf_b, sm_b, lut_b):
                 lst.append(lst[B - 1])
 
+        # windowed frame-parallel program when every real object in the
+        # group re-solve-aligns to window boundaries (bit-identical there;
+        # see BatchedSequenceTracker.run_sequence's routing)
+        w_win = max(int(self.disc_cfg.train_skipping), 1)
+        windowed = (bucket_T % w_win == 0) and all(
+            not self.disc_cfg.update_filters
+            or all(o[1] % w_win == 0 for o in prep["objects"])
+            for _, prep in seq_preps)
         stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
-        outs, _, _ = self._get_vscan(im_size)(
-            self.refiner, stack(feats_b), stack(dp_b),
+        outs, _, _ = self._get_vscan(im_size, windowed)(
+            self.refiner, feats_bufs, stack(dp_b),
             stack(ds_b), jnp.asarray(np.stack(sf_b)),
             jnp.asarray(np.stack(sm_b)), jnp.asarray(np.stack(lut_b)))
         if as_device:

@@ -55,12 +55,13 @@ def merge_volume(fg, obj_ids_lut):
     p = jnp.concatenate([bg, fg], axis=1)
     segs = jax.nn.softmax(p / (1.0 - p), axis=1)
     idx = jnp.argmax(segs, axis=1)
-    # one-hot contraction instead of lut[idx]: pixel gathers are a measured
-    # TPU anti-pattern (see masks_to_labels)
-    onehot = jax.nn.one_hot(idx, obj_ids_lut.shape[0], axis=1,
-                            dtype=jnp.float32)
-    return jnp.einsum("k,tk...->t...", obj_ids_lut.astype(jnp.float32),
-                      onehot).astype(jnp.uint8)
+    # unrolled where-chain instead of lut[idx] or a one-hot contraction:
+    # pixel gathers AND row-bound full-res dots are measured TPU
+    # anti-patterns (see masks_to_labels)
+    out = jnp.broadcast_to(obj_ids_lut[0], idx.shape)
+    for k in range(1, obj_ids_lut.shape[0]):
+        out = jnp.where(idx == k, obj_ids_lut[k], out)
+    return out.astype(jnp.uint8)
 
 
 class BatchedSequenceTracker:

@@ -77,19 +77,22 @@ def masks_to_labels(masks: jnp.ndarray, object_ids: jnp.ndarray) -> jnp.ndarray:
     """Exclusive soft masks -> label image via the same aggregation
     (reference run_sequence, tracker.py:144-150).
 
-    The tiny LUT is applied with a one-hot contraction, not `lut[idx]`:
-    pixel-indexed gathers lower to (v5e-measured) 24 ms/window scatter-gather
-    ops inside vmapped scan bodies, while the contraction stays fused."""
+    The tiny LUT is applied as an unrolled chain of N full-res selects:
+    pixel-indexed gathers (`lut[idx]`) lower to (v5e-measured) 24 ms/window
+    scatter-gather ops inside vmapped scan bodies, and the earlier one-hot
+    contraction lowered to a row-bound full-res dot_general that dominated
+    the multi-object scan (round-3 trace: the N=2 scan's dot time tripled);
+    the where-chain is pure fusable VPU work."""
     if object_ids.shape[0] == 2:  # background + 1 object
         return jnp.where(masks[1] > 0.5, object_ids[1], object_ids[0])
     p = jnp.clip(masks, 1e-7, 1 - 1e-7)
     p = p.at[0].set(jnp.min(1.0 - p[1:], axis=0))
     segs = jax.nn.softmax(p / (1.0 - p), axis=0)
     idx = jnp.argmax(segs, axis=0)
-    onehot = jax.nn.one_hot(idx, object_ids.shape[0], axis=0,
-                            dtype=jnp.float32)
-    return jnp.tensordot(object_ids.astype(jnp.float32), onehot,
-                         axes=1).astype(object_ids.dtype)
+    out = jnp.broadcast_to(object_ids[0], idx.shape)
+    for k in range(1, object_ids.shape[0]):
+        out = jnp.where(idx == k, object_ids[k], out)
+    return out.astype(object_ids.dtype)
 
 
 class Tracker:
