@@ -21,8 +21,12 @@ deflates passes, never inflates them — see CLAUDE.md perf log).
 Auxiliary fields:
   fps_batched_b{2,4}: aggregate fps/chip with B independent sequences vmapped
     into ONE scan program on the single chip (ShardedSequenceTracker on a
-    1-device mesh) — fills the scan wall's device-idle time (the wall is ~3x
-    device-busy on this remote tunnel) with more sequences' compute.
+    1-device mesh). Measured v5e semantics (round 3): in QUIET windows the
+    device is already ~90% busy during the scan, so batching buys nothing
+    (B=2: 181 aggregate vs ~200 single); in CONTENDED windows one B-sequence
+    program amortises the per-dispatch tunnel stalls that tank the single-
+    sequence median (B=2: 165 aggregate vs 120 single in the same noisy
+    window) — batching is contention insurance, not idle-filling.
   fps_2obj_median: the 2-object sequence cost (DAVIS 2017 averages ~2
     objects; the reference protocol's headline is single-object).
 """

@@ -30,9 +30,16 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
 
     def __init__(self, cfg, backbone_params, refiner_params, mesh,
                  extract_chunk: int = 8, merge_mode: str = "online",
-                 length_bucket: int = 32):
+                 length_bucket: int = 32, decode_chunk=None):
+        # decode_chunk under vmap multiplies: each lax.map step decodes
+        # chunk*B frames across the B vmapped sequences, so chunk 2 keeps the
+        # effective decode batch at the measured v5e sweet spot (~4) for the
+        # common B=2 groups; see BatchedSequenceTracker.__init__.
+        if decode_chunk is None:
+            decode_chunk = 2 if jax.default_backend() == "tpu" else 0
         super().__init__(cfg, backbone_params, refiner_params,
-                         extract_chunk=extract_chunk, merge_mode=merge_mode)
+                         extract_chunk=extract_chunk, merge_mode=merge_mode,
+                         decode_chunk=decode_chunk)
         self.mesh = mesh
         self.length_bucket = length_bucket
         n_dev = int(np.prod(list(mesh.shape.values())))
@@ -72,9 +79,11 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
     def _get_vscan(self, im_size, windowed: bool = False):
         """jitted sharded vmapped scan, one program per (image size,
         windowed) pair (pjit cannot route static kwargs alongside
-        in_shardings, so im_size is closed over). The feature buffers are
-        DONATED: they are multi-GB at DAVIS scale and dead after the call —
-        donation lets XLA reuse their HBM for the scan's working set."""
+        in_shardings, so im_size is closed over). Donating the feature
+        buffers was tried and is a no-op: the scan reads them on every
+        iteration so XLA can never alias them into the (much smaller) label
+        outputs — it only emitted 'donated buffers were not usable' warnings.
+        Peak HBM is controlled by the in-place row assembly instead."""
         key = (im_size, windowed)
         if key not in self._vscan_cache:
             raw = self._raw_vwindow if windowed else self._raw_vscan
@@ -86,7 +95,6 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
                 fn,
                 in_shardings=(self._repl,) + (self._seq_sh,) * 6,
                 out_shardings=self._seq_sh,
-                donate_argnums=(1,),
             )
         return self._vscan_cache[key]
 

@@ -44,7 +44,6 @@ from ..models.multilayer import ml_disc_init, ml_init_params
 from ..models.memory import memory_update
 from ..models.augmenter import ImageAugmenter
 from ..ops.conv import conv2d
-from .tracker import merge_soft_masks, masks_to_labels
 
 
 def merge_volume(fg, obj_ids_lut):
@@ -64,13 +63,73 @@ def merge_volume(fg, obj_ids_lut):
     return out.astype(jnp.uint8)
 
 
+def merge_rows_and_label(rows, obj_ids_lut):
+    """Fused soft-aggregation + labeling for the scan's online path: rows
+    (N, H, W) suppressed soft fg masks -> (merged (N, H, W) exclusive object
+    rows, uint8 (H, W) label image).
+
+    Same winners as the two-step merge_soft_masks -> masks_to_labels chain
+    (reference tracker.py:214-221 then :144-150) with ONE softmax and no
+    (N+1)-concat / row-scatter / one-hot: the second step's argmax over the
+    exclusive volume reduces algebraically to "the step-1 winner keeps its
+    label iff its merged probability > 0.5, else background" — for winner
+    value s the re-derived odds are s/(1-s) for the winner vs (1-s)/s for
+    the recomputed background row, and s/(1-s) > (1-s)/s iff s > 0.5 (ties
+    to background, argmax's first-max rule). v5e motivation: the two-step
+    form's full-res concat + scatter + one-hot cost ~3 ms/window at N=2
+    (round-3 trace) and doubled the elementwise pass count.
+    """
+    if rows.shape[0] == 1:
+        # single object: the 2-way softmax over [bg, fg] odds is exactly
+        # sigmoid of the odds difference (see merge_soft_masks)
+        p = jnp.clip(rows[0], 1e-7, 1 - 1e-7)
+        r1 = p / (1.0 - p)
+        r0 = (1.0 - p) / p
+        win = r1 > r0
+        s1 = jax.nn.sigmoid(r1 - r0)
+        merged = (s1 * win.astype(s1.dtype))[None]
+        label = jnp.where(win & (s1 > 0.5), obj_ids_lut[1], obj_ids_lut[0])
+        return merged, label.astype(jnp.uint8)
+    N = rows.shape[0]
+    p = jnp.clip(rows, 1e-7, 1 - 1e-7)
+    bg = jnp.min(1.0 - p, axis=0)
+    r = p / (1.0 - p)
+    r_bg = bg / (1.0 - bg)
+    m = jnp.maximum(jnp.max(r, axis=0), r_bg)
+    e = jnp.exp(r - m)
+    e_bg = jnp.exp(r_bg - m)
+    z = e_bg + jnp.sum(e, axis=0)
+    seg = e / z                           # (N, H, W) object softmax rows
+    seg_bg = e_bg / z
+    k = jnp.argmax(e, axis=0)             # winner among objects (first-max)
+    s_win = jnp.max(seg, axis=0)
+    obj_wins = s_win > seg_bg             # strict: ties go to background
+    lane = jnp.arange(N, dtype=k.dtype)[:, None, None]
+    merged = seg * ((lane == k) & obj_wins).astype(seg.dtype)
+    lab = jnp.broadcast_to(obj_ids_lut[1], k.shape)
+    for i in range(1, N):                 # tiny-LUT where-chain (VPU)
+        lab = jnp.where(k == i, obj_ids_lut[i + 1], lab)
+    label = jnp.where(obj_wins & (s_win > 0.5), lab, obj_ids_lut[0])
+    return merged, label.astype(jnp.uint8)
+
+
 class BatchedSequenceTracker:
     """Whole-sequence tracking as (batched extract) + (one scan program)."""
 
     def __init__(self, cfg: TrackerConfig, backbone_params, refiner_params,
                  extract_chunk: int = 8, merge_mode: str = "online",
-                 scan_bucket: int = 16, augment_backend: str = "host"):
+                 scan_bucket: int = 16, augment_backend: str = "host",
+                 decode_chunk=None):
         assert merge_mode in ("online", "deferred")
+        # decoder sub-batch inside the windowed program: seg_network_apply's
+        # per-frame cost RISES with batch on v5e (6.45/10.7/14.1 ms per 8
+        # frames at batch 8/16/32 — XLA picks progressively worse layouts for
+        # the full-res intermediates), while lax.map over chunks of 4 holds a
+        # flat 5.65 ms per 8 at every total batch. TPU-only: on CPU the map
+        # serialisation only adds overhead. None = auto; 0 = off.
+        if decode_chunk is None:
+            decode_chunk = 4 if jax.default_backend() == "tpu" else 0
+        self.decode_chunk = decode_chunk
         self.cfg = cfg
         self.backbone = backbone_params
         self.refiner = refiner_params
@@ -155,6 +214,7 @@ class BatchedSequenceTracker:
         single = len(DL) == 1
         layers = cfg.refnet_layers
         online = self.merge_mode == "online"
+        dec_chunk = self.decode_chunk
         dtype = self.dtype  # decoder compute dtype (bf16 on TPU); the
         # discriminator solve and mask aggregation stay float32
 
@@ -287,11 +347,11 @@ class BatchedSequenceTracker:
                 else:
                     rows = y
 
-                masks = jnp.concatenate(
-                    [jnp.zeros((1,) + rows.shape[1:], rows.dtype), rows])
-                merged = merge_soft_masks(masks)            # (N+1, H, W)
-                out = (masks_to_labels(merged, obj_ids_lut).astype(jnp.uint8)
-                       if online else rows)
+                # fused merge+label: one softmax, no (N+1) concat/scatter/
+                # one-hot (merge_rows_and_label docstring); the label is
+                # dead code under XLA in deferred mode
+                merged, out_label = merge_rows_and_label(rows, obj_ids_lut)
+                out = out_label if online else rows
 
                 if not disc_cfg.update_filters:  # static: no online updates
                     states = {L: states[L]._replace(
@@ -300,7 +360,7 @@ class BatchedSequenceTracker:
                     return (params, states, t), out
 
                 # memory insert per active object (gated on >=10 fg px)
-                train_y = merged[1:][..., None]             # (N, H, W, 1)
+                train_y = merged[..., None]                 # (N, H, W, 1)
                 enough = ((train_y > 0.5).sum(axis=(1, 2, 3)) >= 10) & active
                 states = update_states(states, cft, train_y, enough, active)
 
@@ -374,10 +434,32 @@ class BatchedSequenceTracker:
                              .reshape((W * N,) + hp.shape[1:]))
                          for L, (h, hp) in redW.items()}
                 scores = [s.astype(dtype) for s in sflat_list]
-                logits = seg_network_apply(refiner_c,
-                                           scores[0] if single else scores,
-                                           None, im_size, layers=layers,
-                                           reduced=redWN)
+                WN = scores[0].shape[0]
+                if dec_chunk and WN > dec_chunk and WN % dec_chunk == 0:
+                    # decode in sub-batches of dec_chunk (lax.map, one
+                    # program): v5e-measured 5.65 ms per 8 frames flat vs
+                    # 6.45/10.7/14.1 unchunked at batch 8/16/32 — the full
+                    # window batch hits a >linear layout cliff above 8
+                    nc = WN // dec_chunk
+                    s_c = tuple(s.reshape((nc, dec_chunk) + s.shape[1:])
+                                for s in scores)
+                    red_c = {L: (h.reshape((nc, dec_chunk) + h.shape[1:]),
+                                 hp.reshape((nc, dec_chunk) + hp.shape[1:]))
+                             for L, (h, hp) in redWN.items()}
+
+                    def _dec(args):
+                        sl, rd = args
+                        return seg_network_apply(
+                            refiner_c, sl[0] if single else list(sl), None,
+                            im_size, layers=layers, reduced=rd)
+
+                    lg = lax.map(_dec, (s_c, red_c))
+                    logits = lg.reshape((WN,) + lg.shape[2:])
+                else:
+                    logits = seg_network_apply(refiner_c,
+                                               scores[0] if single else scores,
+                                               None, im_size, layers=layers,
+                                               reduced=redWN)
                 y = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
                 y = y.reshape((W, N) + y.shape[1:])                # (W,N,H,W)
                 y = y * active[..., None, None]
@@ -388,12 +470,11 @@ class BatchedSequenceTracker:
                     rows = jnp.where(fresh[..., None, None], start_masks[None], y)
                 else:
                     rows = y
-                masks = jnp.concatenate(
-                    [jnp.zeros((W, 1) + rows.shape[2:], rows.dtype), rows],
-                    axis=1)
-                merged = jax.vmap(merge_soft_masks)(masks)         # (W,N+1,H,W)
-                out = (jax.vmap(lambda m: masks_to_labels(m, obj_ids_lut))(merged)
-                       .astype(jnp.uint8) if online else rows)
+                # fused merge+label per frame (merge_rows_and_label
+                # docstring); labels are dead code in deferred mode
+                merged, out_labels = jax.vmap(
+                    lambda rw: merge_rows_and_label(rw, obj_ids_lut))(rows)
+                out = out_labels if online else rows               # (W,N,H,W)
 
                 if not disc_cfg.update_filters:
                     states = {L: states[L]._replace(
@@ -401,7 +482,7 @@ class BatchedSequenceTracker:
                         + active.astype(jnp.int32).sum(axis=0)) for L in DL}
                     return (params, states, t + W), out
 
-                train_y = merged[:, 1:][..., None]                 # (W,N,H,W,1)
+                train_y = merged[..., None]                        # (W,N,H,W,1)
                 enough = ((train_y > 0.5).sum(axis=(2, 3, 4)) >= 10) & active
 
                 def ins_step(st, xw):

@@ -140,6 +140,36 @@ def test_windowed_scan_smoke_fast():
         assert frac_diff < 0.005, (t, frac_diff)
 
 
+def test_windowed_decode_chunking_matches_unchunked():
+    """decode_chunk splits the windowed decode into lax.map sub-batches (a
+    v5e layout-cliff workaround: per-frame decode cost rises superlinearly
+    with batch above 8). Same math — outputs must match the unchunked
+    program on every backend."""
+    seq = make_moving_square_sequence(n_frames=5, size=(48, 64), square=14,
+                                      n_objects=2, seed=3)
+    cfg = eval_config("resnet18", fast=True, num_aug=2)
+    cfg = replace(cfg, disc=replace(
+        cfg.disc, init_iters=(2,), update_iters=(2,), memory_size=4,
+        c_channels=8, train_skipping=2))
+    backbone = init_resnet(jax.random.PRNGKey(1), "resnet18")
+    ch = {L: c for L, c in resnet_out_channels("resnet18").items()
+          if L in cfg.refnet_layers}
+    refiner = init_seg_network(jax.random.PRNGKey(2), ch,
+                               use_bn=cfg.refnet_use_bn)
+
+    chunked = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4,
+                                     scan_bucket=2, decode_chunk=2)
+    out_c, _ = chunked.run_sequence(seq)    # W*N = 4 -> two map steps of 2
+    plain = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4,
+                                   scan_bucket=2, decode_chunk=0)
+    out_p, _ = plain.run_sequence(seq)
+
+    assert len(out_c) == len(out_p) == 5
+    for t, (a, b) in enumerate(zip(out_c, out_p)):
+        frac_diff = np.mean(a != b)
+        assert frac_diff < 0.005, (t, frac_diff)
+
+
 @pytest.mark.slow
 def test_scan_tracker_deferred_merge_runs():
     """Legacy YTVOS semantics: whole-sequence post-merge with GT insertion."""
