@@ -166,6 +166,11 @@ def _tse_reduce(p, ft):
 
 
 def _tse_transform(p, h, score):
+    # measured anti-lesson (round 3, v5e): splitting transform1 as
+    # conv(h, W[:oc]) + conv(score, W[oc:]) to skip this concat was 2.6 ms
+    # SLOWER per 2-object pass (four extra tiny conv ops) and the in-scan
+    # concatenate time didn't move — the decode concats are the PyrUp
+    # interleave stacks, not adaptive_cat
     h = adaptive_cat((h, score), ref_index=0)
     h = relu(_c(p["transform1"], h))
     h = relu(_c(p["transform2"], h))

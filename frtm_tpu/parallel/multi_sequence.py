@@ -217,16 +217,18 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         im_size = tuple(images_np.shape[1:3])
         objects = self._collect_objects(sequence)
 
-        params_list, states_list = [], []
+        # augment only — the GN-CG init solves are deferred to _run_group,
+        # which batches every object in the shape group into ONE extract +
+        # ONE vmapped solve program (instead of 2 dispatches per object
+        # inside the timed region). copy=True: the augmenter reuses its
+        # output buffers and the batch is consumed after later _prepare calls.
+        aug = []
         for obj_id, start_idx, mask, image in objects:
             rng = np.random.RandomState(0)
             im_aug, lb_aug = self.augmenter.augment_first_frame(
-                image, mask[..., None], rng)
-            ft = self._extract_disc_layer(
-                self.backbone, jnp.asarray(im_aug.astype(np.uint8)))
-            p, s = self._init_disc(self._disc_params0, ft, jnp.asarray(lb_aug))
-            params_list.append(p)
-            states_list.append(s)
+                image, mask[..., None], rng, copy=True)
+            aug.append((np.asarray(im_aug, np.uint8),
+                        np.asarray(lb_aug, np.uint8)))
 
         n_track = T - 1
         bucket_T = -(-n_track // self.length_bucket) * self.length_bucket
@@ -235,7 +237,7 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         n_pad = 1 << (len(objects) - 1).bit_length()
         group_key = (im_size, bucket_T, n_pad)
         return dict(images=images_np, chunks=chunks, objects=objects,
-                    params=params_list, states=states_list, n_track=n_track,
+                    aug=aug, n_track=n_track,
                     bucket_T=bucket_T, n_pad=n_pad, im_size=im_size,
                     group_key=group_key)
 
@@ -249,6 +251,17 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         B = len(seq_preps)
         Bp = -(-B // self.n_devices) * self.n_devices  # pad to mesh multiple
 
+        # ONE batched extract + vmapped GN-CG over every object in the group
+        # (the solves were deferred by _prepare): a B=4 single-object group
+        # costs one dispatch pair instead of eight inside the fps window
+        pairs = [p for _, prep in seq_preps for p in prep["aug"]]
+        ims = jnp.asarray(np.stack([a for a, _ in pairs]))
+        lbs = jnp.asarray(np.stack([b for _, b in pairs]))
+        params_all, states_all = self._init_objects(
+            self.backbone, self._disc_params0, ims, lbs)
+        obj_ofs = np.cumsum([0] + [len(prep["objects"])
+                                   for _, prep in seq_preps])
+
         feats_bufs = None  # {L: (Bp, bucket_T, h, w, c)} built in place
         dp_b, ds_b, sf_b, sm_b, lut_b = [], [], [], [], []
         H, W = im_size
@@ -256,8 +269,9 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
             sequence, prep = seq_preps[i]
             feats_all = self._extract_sequence(prep["images"][1:],
                                                chunks=prep.get("chunks"))
-            disc_params = jax.tree.map(lambda *x: jnp.stack(x), *prep["params"])
-            disc_states = jax.tree.map(lambda *x: jnp.stack(x), *prep["states"])
+            o0, o1 = int(obj_ofs[i]), int(obj_ofs[i + 1])
+            disc_params = jax.tree.map(lambda x: x[o0:o1], params_all)
+            disc_states = jax.tree.map(lambda x: x[o0:o1], states_all)
             pad = bucket_T - prep["n_track"]
             if pad:
                 feats_all = {L: jnp.concatenate(

@@ -193,9 +193,35 @@ class BatchedSequenceTracker:
             """One target model per disc layer: {L: params}, {L: states}."""
             return ml_disc_init(p0, fts, lb, self._scan_disc_cfgs)
 
+        @jax.jit
+        def _init_objects(bb, p0, images, labels):
+            """Batched multi-object init: ONE backbone pass over all objects'
+            augmented frames + ONE vmapped GN-CG program, replacing N serial
+            (extract, solve) dispatch pairs. v5e 2-object measurement: the
+            serial path costs 2x4.6 ms extract + 2x13.6 ms solve wall plus
+            four tunnel dispatches inside the fps clock; the same trick the
+            trainer uses for cold-start cache misses (trainer.py).
+
+            :param images: (N, K, H, W, 3) uint8 augmented frames per object
+            :param labels: (N, K, H, W, 1) augmented masks
+            :return: ({L: params}, {L: states}) with leading object axis N
+            """
+            # extract per object via lax.map, NOT one flat (N*K) batch: the
+            # disc-layer extract is batch-superlinear on v5e like the decoder
+            # (measured: 2x5-frame calls 9.2 ms device vs one 10-frame call
+            # 14.7 ms) — the map keeps the efficient K-frame batch while
+            # still dispatching ONE program
+            ft = lax.map(lambda im: extract_features(
+                bb, im, self.arch, output_layers=list(self._disc_layers),
+                dtype=self.dtype), images)
+            return jax.vmap(
+                lambda f, l: ml_disc_init(p0, f, l, self._scan_disc_cfgs)
+            )(ft, labels)
+
         self._extract = _extract
         self._extract_disc_layer = _extract_disc_layer
         self._init_disc = _init_disc
+        self._init_objects = _init_objects
         # (input donation was tried for the pyramid: XLA cannot alias it into
         # the label outputs, so it only produced warnings — buffers free after
         # last use regardless)
@@ -453,6 +479,11 @@ class BatchedSequenceTracker:
                             refiner_c, sl[0] if single else list(sl), None,
                             im_size, layers=layers, reduced=rd)
 
+                    # measured anti-lesson (round 3, v5e): statically
+                    # unrolling this map into straight-line chunks to dodge
+                    # the while op's apparent ~17 ms bookkeeping was a wash —
+                    # the time reappeared on the outer window loop (it is
+                    # fusion-region accounting, not loop overhead)
                     lg = lax.map(_dec, (s_c, red_c))
                     logits = lg.reshape((WN,) + lg.shape[2:])
                 else:
@@ -638,10 +669,10 @@ class BatchedSequenceTracker:
         with timer.phase("extract"):
             feats_all = self._extract_sequence(images_np[1:], chunks=chunks)
 
-        # per-object init (GN-CG on device); the device augmenter consumes
+        # object init (GN-CG on device); the device augmenter consumes
         # the pre-uploaded frame and returns device arrays — no
         # augmented-batch upload inside the timed region
-        params_list, states_list = [], []
+        init_inputs = []
         for k, (obj_id, start_idx, mask, image) in enumerate(objects):
             if self.augment_backend == "device":
                 rng = np.random.RandomState(0)
@@ -660,13 +691,22 @@ class BatchedSequenceTracker:
                     # ~25 MB per object inside the fps clock
                     ft_in = jnp.asarray(np.asarray(im_aug, np.uint8))
                     lb_in = jnp.asarray(np.asarray(lb_aug, np.uint8))
+                init_inputs.append((ft_in, lb_in))
+
+        with timer.phase("disc_init"):
+            if len(init_inputs) > 1:
+                # multi-object: one batched extract + one vmapped solve
+                # (_init_objects docstring) instead of N dispatch pairs
+                ims = jnp.stack([a for a, _ in init_inputs])
+                lbs = jnp.stack([b for _, b in init_inputs])
+                disc_params, disc_states = self._init_objects(
+                    self.backbone, self._disc_params0, ims, lbs)
+            else:
+                ft_in, lb_in = init_inputs[0]
                 ft = self._extract_disc_layer(self.backbone, ft_in)
                 p, s = self._init_disc(self._disc_params0, ft, lb_in)
-            params_list.append(p)
-            states_list.append(s)
-
-        disc_params = jax.tree.map(lambda *x: jnp.stack(x), *params_list)
-        disc_states = jax.tree.map(lambda *x: jnp.stack(x), *states_list)
+                disc_params = jax.tree.map(lambda x: x[None], p)
+                disc_states = jax.tree.map(lambda x: x[None], s)
         start_frames = jnp.asarray([o[1] for o in objects], jnp.int32)
         start_masks = jnp.asarray(np.stack([o[2] for o in objects]))
         obj_ids = [o[0] for o in objects]
