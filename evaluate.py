@@ -42,6 +42,11 @@ def main():
                     help="fused = one-scan-program fast path; host = frame-at-"
                          "a-time reference-semantics loop; sharded = batch "
                          "sequences across all devices")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="fused engine only: prefetch the next sequence's "
+                         "augmentation during the current scan (faster "
+                         "dataset wall; per-sequence fps then excludes "
+                         "augment and is not protocol-comparable)")
     args = ap.parse_args()
 
     import jax
@@ -107,7 +112,7 @@ def main():
         from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
         tracker = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=16)
         tracker.run_dataset(dset, out_path, speedrun=args.dset == "dv2016val",
-                            restart=args.restart)
+                            restart=args.restart, pipeline=args.pipeline)
 
     dset.all_annotations = True
     print("\nComputing J-scores")

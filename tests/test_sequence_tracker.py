@@ -305,3 +305,42 @@ def test_scan_tracker_multiple_image_sizes():
         outs, _ = fused.run_sequence(seq)
         assert outs[0].shape == size
         np.testing.assert_array_equal(outs[0], seq.labels[0].squeeze())
+
+
+def test_pipelined_run_dataset_matches_default(tmp_path):
+    """run_dataset(pipeline=True) prefetches the next sequence's augmentation
+    during the current scan; the written PNGs must be byte-identical to the
+    default protocol run (the augment RNG is per-object deterministic, and
+    copy_all=True must protect sequence i's batches from being clobbered by
+    the prefetch thread re-using the augmenter's buffers for i+1)."""
+    cfg = eval_config("resnet18", fast=True, num_aug=2)
+    cfg = replace(cfg, disc=replace(
+        cfg.disc, init_iters=(2,), update_iters=(2,), memory_size=4,
+        c_channels=8, train_skipping=2))
+    backbone = init_resnet(jax.random.PRNGKey(1), "resnet18")
+    ch = {L: c for L, c in resnet_out_channels("resnet18").items()
+          if L in cfg.refnet_layers}
+    refiner = init_seg_network(jax.random.PRNGKey(2), ch,
+                               use_bn=cfg.refnet_use_bn)
+
+    seqs = [make_moving_square_sequence(n_frames=4, size=(48, 64), square=14,
+                                        seed=s, name=f"s{s}")
+            for s in range(3)]
+
+    class _DS(list):
+        name = "synthetic"
+
+    tracker = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4,
+                                     scan_bucket=2)
+    tracker.run_dataset(_DS(seqs), tmp_path / "a")
+    tracker.run_dataset(_DS(seqs), tmp_path / "b", pipeline=True)
+
+    files_a = sorted(p.relative_to(tmp_path / "a")
+                     for p in (tmp_path / "a").rglob("*.png"))
+    files_b = sorted(p.relative_to(tmp_path / "b")
+                     for p in (tmp_path / "b").rglob("*.png"))
+    assert files_a == files_b and len(files_a) == 12
+    for rel in files_a:
+        a = (tmp_path / "a" / rel).read_bytes()
+        b = (tmp_path / "b" / rel).read_bytes()
+        assert a == b, rel
