@@ -97,6 +97,10 @@ def main():
     out_path = Path(args.output).expanduser().resolve() / ex_name
     out_path.mkdir(exist_ok=True, parents=True)
 
+    if args.pipeline and args.engine != "fused":
+        print("WARNING: --pipeline applies to the fused engine only; "
+              f"ignored for --engine {args.engine}.")
+
     if args.engine == "host":
         tracker = Tracker(cfg, backbone, refiner)
         tracker.run_dataset(dset, out_path, speedrun=args.dset == "dv2016val",

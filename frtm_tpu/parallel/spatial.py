@@ -55,8 +55,10 @@ def make_spatial_mesh(n_spatial, n_data=1, devices=None):
 
 
 def spatial_image_sharding(mesh):
-    """(B, H, W, C) images: batch over 'data', height over 'spatial'."""
-    return NamedSharding(mesh, P("data", "spatial"))
+    """(B, H, W, C) images: batch over 'data' (when the mesh has that axis —
+    a user-built 1-D ('spatial',) mesh is fine too), height over 'spatial'."""
+    batch_axis = "data" if "data" in mesh.axis_names else None
+    return NamedSharding(mesh, P(batch_axis, "spatial"))
 
 
 def make_spatial_frame_step(cfg, mesh, dtype=jnp.float32):

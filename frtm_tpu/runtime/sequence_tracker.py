@@ -568,15 +568,14 @@ class BatchedSequenceTracker:
             outs.append({L: v[:C - pad] if pad else v for L, v in f.items()})
         return {L: jnp.concatenate([o[L] for o in outs]) for L in outs[0]}
 
-    def _augment_objects(self, objects, timer, copy_all: bool = False):
+    def _augment_objects(self, objects, timer):
         """First-frame augmentation batches for every object, in object
         order. All batches are collected BEFORE any is consumed, so every
         object except the last needs its own copy of the augmenter's reused
         output buffers (copy=False for the final object skips one multi-MB
-        host copy). copy_all=True detaches the last batch too — required
-        when the batches outlive the next augmenter call (the pipelined
-        dataset runner prefetches sequence i+1's augment while sequence i's
-        batches may still be awaiting upload)."""
+        host copy). (The pipelined prefetch path doesn't use this: it
+        uploads each batch right after augmenting instead —
+        prepare_sequence.)"""
         from ..utils.profiling import PhaseTimer
         timer = timer or PhaseTimer(sync=False)
         batches = []
@@ -585,7 +584,7 @@ class BatchedSequenceTracker:
             with timer.phase("augment"):
                 batches.append(self.augmenter.augment_first_frame(
                     image, mask[..., None], rng,
-                    copy=copy_all or (k != len(objects) - 1)))
+                    copy=(k != len(objects) - 1)))
         return batches
 
     def _collect_objects(self, sequence):
@@ -608,16 +607,25 @@ class BatchedSequenceTracker:
         the first-frame augmentation. The pipelined dataset runner calls this
         on a background thread for sequence i+1 while sequence i's scan
         occupies the device; the returned dict feeds run_sequence(preloaded=).
-        Augment batches use copy_all (they outlive the next augmenter call);
-        device-augment backends skip the host augment (it happens on-device
-        inside _run as usual)."""
+        Augment batches are uploaded to the device here too (each object's
+        batch right after it is augmented, so the augmenter's reused host
+        buffers never need copying and no aug-batch transfer lands inside
+        the fps clock); device-augment backends skip the host augment (it
+        happens on-device inside _run as usual)."""
         images_np = np.stack([sequence[t][0] for t in range(len(sequence))])
         frame0_dev = jax.device_put(images_np[0])
         chunks = self._upload_chunks(images_np[1:])
         aug = None
         if self.augment_backend != "device":
-            aug = self._augment_objects(self._collect_objects(sequence), None,
-                                        copy_all=True)
+            aug = []
+            for obj_id, start_idx, mask, image in self._collect_objects(sequence):
+                rng = np.random.RandomState(0)
+                im_aug, lb_aug = self.augmenter.augment_first_frame(
+                    image, mask[..., None], rng, copy=False)
+                # device_put commits the copy before returning, so the
+                # augmenter may reuse its buffers on the next iteration
+                aug.append((jnp.asarray(np.asarray(im_aug, np.uint8)),
+                            jnp.asarray(np.asarray(lb_aug, np.uint8))))
         return {"images_np": images_np, "frame0_dev": frame0_dev,
                 "chunks": chunks, "aug_batches": aug}
 
@@ -660,10 +668,13 @@ class BatchedSequenceTracker:
         if speedrun:
             # drain the warm-up's device work before the measured pass —
             # otherwise its scan still occupies the chip when the clock
-            # starts. Reuse precomputed augment: the warm-up must not touch
-            # the augmenter while a pipelined prefetch thread is using it.
+            # starts. Reuse the precomputed augment + uploaded chunks: the
+            # warm-up must not touch the augmenter while a pipelined prefetch
+            # thread is using it, and re-uploading the frames it already has
+            # device copies of would just contend with the prefetch's uploads.
             jax.block_until_ready(self._run(images_np, sequence, soft=soft,
-                                            aug_batches=aug_batches))
+                                            aug_batches=aug_batches,
+                                            chunks=chunks))
 
         from ..utils.profiling import PhaseTimer
         timer = PhaseTimer(sync=False)
@@ -856,9 +867,9 @@ class BatchedSequenceTracker:
                 seq.preload()
             if not pipeline:
                 return seq, None
-            # prepare_sequence uses copy_all augment batches: they are
-            # consumed only after the NEXT prefetch may already be rewriting
-            # the augmenter's reused buffers
+            # prepare_sequence uploads each augment batch as it is made, so
+            # nothing here aliases the augmenter's reused buffers by the time
+            # the NEXT prefetch rewrites them
             return seq, self.prepare_sequence(seq)
 
         t_all = time.time()
@@ -885,9 +896,13 @@ class BatchedSequenceTracker:
         wall = time.time() - t_all
         print("Average frame rate: %.2f fps" % fps_meter.avg)
         if pipeline:
+            # with speedrun, every sequence is tracked TWICE inside the wall
+            # (warm-up + measured pass), so label the aggregate accordingly
+            # rather than printing a silently ~2x-understated number
+            extra = ", incl. speedrun warm-up passes" if speedrun else ""
             print("Pipelined dataset pass: %.2f fps aggregate "
-                  "(%d frames / %.1fs wall, incl. PNG writes)"
-                  % (n_frames / max(wall, 1e-9), n_frames, wall))
+                  "(%d frames / %.1fs wall, incl. PNG writes%s)"
+                  % (n_frames / max(wall, 1e-9), n_frames, wall, extra))
         return fps_meter.avg
 
     def _frame_dev(self, t, images_np, chunks):

@@ -311,8 +311,9 @@ def test_pipelined_run_dataset_matches_default(tmp_path):
     """run_dataset(pipeline=True) prefetches the next sequence's augmentation
     during the current scan; the written PNGs must be byte-identical to the
     default protocol run (the augment RNG is per-object deterministic, and
-    copy_all=True must protect sequence i's batches from being clobbered by
-    the prefetch thread re-using the augmenter's buffers for i+1)."""
+    the per-object upload inside prepare_sequence must detach sequence i's
+    batches before the prefetch thread re-uses the augmenter's buffers for
+    i+1)."""
     cfg = eval_config("resnet18", fast=True, num_aug=2)
     cfg = replace(cfg, disc=replace(
         cfg.disc, init_iters=(2,), update_iters=(2,), memory_size=4,

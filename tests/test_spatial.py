@@ -63,6 +63,13 @@ def test_spatial_frame_step_matches_single():
     got = np.asarray(step(backbone, refiner, disc, images))
     assert got.shape == (1, 128, 96, 1)
 
+    # a user-built 1-D ('spatial',) mesh must work too (pure SP, no 'data')
+    from jax.sharding import Mesh
+    mesh1d = Mesh(np.asarray(jax.devices()[:4]), ("spatial",))
+    got1d = np.asarray(make_spatial_frame_step(cfg, mesh1d)(
+        backbone, refiner, disc, images))
+    np.testing.assert_allclose(got1d, got, rtol=0, atol=1e-5)
+
     # single-device reference: the same fn, plain jit
     from frtm_tpu.models.resnet import extract_features
     from frtm_tpu.models.seg_network import seg_network_apply
