@@ -43,9 +43,10 @@ def main():
                          "a-time reference-semantics loop; sharded = batch "
                          "sequences across all devices")
     ap.add_argument("--pipeline", action="store_true",
-                    help="fused engine only: prefetch the next sequence's "
-                         "augmentation during the current scan (faster "
-                         "dataset wall; per-sequence fps then excludes "
+                    help="fused/sharded engines: prefetch the next sequence "
+                         "(or chunk)'s host prep — decode, uploads, "
+                         "augmentation — during the current scan (faster "
+                         "dataset wall; fused per-sequence fps then excludes "
                          "augment and is not protocol-comparable)")
     args = ap.parse_args()
 
@@ -97,9 +98,9 @@ def main():
     out_path = Path(args.output).expanduser().resolve() / ex_name
     out_path.mkdir(exist_ok=True, parents=True)
 
-    if args.pipeline and args.engine != "fused":
-        print("WARNING: --pipeline applies to the fused engine only; "
-              f"ignored for --engine {args.engine}.")
+    if args.pipeline and args.engine == "host":
+        print("WARNING: --pipeline applies to the fused/sharded engines "
+              "only; ignored for --engine host.")
 
     if args.engine == "host":
         tracker = Tracker(cfg, backbone, refiner)
@@ -111,7 +112,8 @@ def main():
         tracker = ShardedSequenceTracker(cfg, backbone, refiner, mesh)
         # streaming: decode/track/write/release one mesh-sized chunk at a
         # time — memory stays bounded on hundred-sequence datasets
-        tracker.run_dataset(dset, out_path, restart=args.restart)
+        tracker.run_dataset(dset, out_path, restart=args.restart,
+                            pipeline=args.pipeline)
     else:  # fused (default)
         from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
         tracker = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=16)

@@ -130,7 +130,7 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         return (im_size, bucket_T, n_pad)
 
     def run_dataset(self, dataset, out_path, speedrun=False, restart=None,
-                    chunk_multiple=1):
+                    chunk_multiple=1, pipeline=False):
         """Streaming dataset evaluation, memory bounded to one chunk
         (the reference streams sequence-by-sequence, model/tracker.py:88-99;
         here the unit is a mesh-sized chunk of sequences).
@@ -142,9 +142,16 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
 
         Groups sequences by program shape from metadata, then per chunk of
         `n_devices * chunk_multiple` sequences: decode + init + track + write
-        PNGs + release, before touching the next chunk."""
+        PNGs + release, before touching the next chunk.
+
+        pipeline=True prefetches the NEXT chunk's host prep (decode, stack,
+        augment) on a background thread while the current chunk's scan
+        occupies the mesh — same overlap as the fused engine's pipelined
+        runner, byte-identical outputs (deterministic per-object augment
+        RNG). Memory then holds at most TWO chunks' preps instead of one."""
         import time
         from pathlib import Path
+        from concurrent.futures import ThreadPoolExecutor
         from ..data.image import imwrite_indexed
 
         out_path = Path(out_path)
@@ -158,28 +165,44 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
             groups[self._group_key_meta(sequence)].append(sequence)
 
         chunk = max(1, self.n_devices * chunk_multiple)
+        jobs = [(key, members[lo:lo + chunk])
+                for key, members in groups.items()
+                for lo in range(0, len(members), chunk)]
+
+        def _prep_chunk(batch):
+            # sole augmenter user in pipeline mode (the main thread never
+            # calls _prepare then), so its buffer reuse stays single-threaded
+            return [(seq, self._prepare(seq)) for seq in batch]
+
         t0 = time.time()
         n_frames = 0
         seq_fps = []  # per-sequence completion fps (frames / chunk wall)
-        for key, members in groups.items():
-            for lo in range(0, len(members), chunk):
-                batch = members[lo:lo + chunk]
-                tc = time.time()
-                preps = [(seq, self._prepare(seq)) for seq in batch]
-                results = self._run_group(preps, key)
-                chunk_wall = max(time.time() - tc, 1e-9)
-                del preps  # decoded frames/features/init state die here
-                for seq in batch:
-                    dst = out_path / seq.name
-                    dst.mkdir(exist_ok=True, parents=True)
-                    for lb, f in zip(results[seq.name], seq.frame_names):
-                        imwrite_indexed(dst / (f + ".png"), lb)
-                    n_frames += len(seq)
-                    seq_fps.append(len(seq) / chunk_wall)
-                    print(f"{seq.name}: {len(seq)} frames written")
-                    if getattr(seq, "preloaded", None) is not None:
-                        seq.preloaded = None  # release decoded frames
-                del results
+        pool = ThreadPoolExecutor(max_workers=1) if pipeline else None
+        nxt = pool.submit(_prep_chunk, jobs[0][1]) if pipeline and jobs else None
+        for i, (key, batch) in enumerate(jobs):
+            tc = time.time()
+            if pipeline:
+                preps = nxt.result()
+                if i + 1 < len(jobs):
+                    nxt = pool.submit(_prep_chunk, jobs[i + 1][1])
+            else:
+                preps = _prep_chunk(batch)
+            results = self._run_group(preps, key)
+            chunk_wall = max(time.time() - tc, 1e-9)
+            del preps  # decoded frames/features/init state die here
+            for seq in batch:
+                dst = out_path / seq.name
+                dst.mkdir(exist_ok=True, parents=True)
+                for lb, f in zip(results[seq.name], seq.frame_names):
+                    imwrite_indexed(dst / (f + ".png"), lb)
+                n_frames += len(seq)
+                seq_fps.append(len(seq) / chunk_wall)
+                print(f"{seq.name}: {len(seq)} frames written")
+                if getattr(seq, "preloaded", None) is not None:
+                    seq.preloaded = None  # release decoded frames
+            del results
+        if pool is not None:
+            pool.shutdown()
         fps = n_frames / max(time.time() - t0, 1e-9)
         # TWO fps semantics, labeled so they are never cross-compared
         # (VERDICT r2 #9): `aggregate` is total frames / total wall across

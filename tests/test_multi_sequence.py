@@ -174,3 +174,29 @@ def test_run_dataset_streams_with_bounded_memory(tmp_path):
         np.testing.assert_array_equal(np.asarray(imread(png)).squeeze(),
                                       ref_results[t].squeeze())
     assert sum(1 for _ in out.iterdir()) == n_seqs
+
+
+def test_sharded_pipelined_run_dataset_matches_default(tmp_path):
+    """run_dataset(pipeline=True) prefetches the NEXT chunk's host prep on a
+    background thread; the written PNGs must be byte-identical to the
+    default streaming pass (deterministic per-object augment RNG; _prepare's
+    copy=True batches never alias the augmenter's reused buffers)."""
+    cfg, backbone, refiner = _tiny_cfg()
+    seqs = [make_moving_square_sequence(n_frames=3, size=(32, 48), square=12,
+                                        seed=s, name=f"q{s:02d}")
+            for s in range(10)]  # chunk=8 -> 2 chunks, prefetch exercised
+
+    mesh = make_mesh(8)
+    tracker = ShardedSequenceTracker(cfg, backbone, refiner, mesh,
+                                     extract_chunk=2, length_bucket=4)
+    tracker.run_dataset(list(seqs), tmp_path / "a")
+    tracker.run_dataset(list(seqs), tmp_path / "b", pipeline=True)
+
+    files_a = sorted(p.relative_to(tmp_path / "a")
+                     for p in (tmp_path / "a").rglob("*.png"))
+    files_b = sorted(p.relative_to(tmp_path / "b")
+                     for p in (tmp_path / "b").rglob("*.png"))
+    assert files_a == files_b and len(files_a) == 30
+    for rel in files_a:
+        assert (tmp_path / "a" / rel).read_bytes() == \
+               (tmp_path / "b" / rel).read_bytes(), rel
