@@ -305,11 +305,18 @@ class Trainer:
     def __init__(self, name, model: TrainerModel, datasets, checkpoints_path,
                  log_path, max_epochs=260, batch_size=16, lr=1e-3,
                  lr_step=127, lr_gamma=0.1, weight_decay=1e-5,
-                 load_latest=True, save_interval=1, mesh=None):
+                 load_latest=True, save_interval=1, mesh=None,
+                 prefetch=True):
         """:param mesh: optional jax.sharding.Mesh — when given, the train
         step runs data-parallel over its 'data' axis (batch sharded, params
         replicated; GSPMD inserts the gradient all-reduce and BN statistics
-        become global)."""
+        become global).
+        :param prefetch: assemble the next batch (dataset reads, frame
+        decode, stacking) on a background thread while the device runs the
+        current step — the TPU-native stand-in for the reference DataLoader's
+        num_workers=8 (/root/reference/train.py:132); one look-ahead worker
+        is the right amount on a 1-core host. Bit-identical training
+        (test_trainer pins the loss trajectory prefetch on vs off)."""
         self.name = name
         self.model = model
         self.datasets = datasets        # list of factory callables -> dataset
@@ -324,6 +331,7 @@ class Trainer:
         self.lr_step = lr_step
         self.lr_gamma = lr_gamma
         self.save_interval = save_interval
+        self.prefetch = prefetch
         self.stats = defaultdict(AverageMeter)
 
         # lr lives in the opt state (inject_hyperparams); StepLR sets it per epoch
@@ -387,6 +395,26 @@ class Trainer:
             # casts labels) and the tunnel uploads 4x fewer bytes than f32
             yield images, labels, specs, mask
 
+    def _prefetched(self, it):
+        """One-ahead background-thread iteration: the generator body (dataset
+        reads, decode, np.stack) runs on the worker while the caller's device
+        step executes. Only the worker touches the iterator, so the epoch's
+        np.random.permutation draw happens on it exactly as it would inline —
+        same global-RNG sequence, bit-identical batches (pinned by test)."""
+        if not self.prefetch:
+            yield from it
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        done = object()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(next, it, done)
+            while True:
+                val = fut.result()
+                if val is done:
+                    return
+                fut = pool.submit(next, it, done)
+                yield val
+
     def _tb_writer(self):
         """Optional TensorBoard writer (the reference logs per-epoch scalars
         via SummaryWriter, lib/training.py:104-110); JSONL is the primary log."""
@@ -410,7 +438,7 @@ class Trainer:
             t0 = None
             n_batches = -(-len(merged) // self.batch_size)
             for i, (images, labels, specs, mask) in enumerate(
-                    self._batches(merged), 1):
+                    self._prefetched(self._batches(merged)), 1):
                 t0 = time.time() if t0 is None else t0
                 self.opt_state.hyperparams["learning_rate"] = jnp.asarray(self._lr())
                 disc_batch, hits = self.model.build_disc_batch(

@@ -265,3 +265,31 @@ def test_bn_affine_trains_and_running_stats_move():
             "BN bias never left its init — affine params are not training"
         assert not np.allclose(np.asarray(bn["mean"]), 0.0)
         assert not np.allclose(np.asarray(bn["var"]), 1.0)
+
+
+@pytest.mark.slow
+def test_prefetched_training_matches_inline():
+    """Trainer(prefetch=True) assembles batches on a background thread (the
+    stand-in for the reference DataLoader's num_workers); the loss trajectory
+    must be bit-identical to inline assembly — the epoch's permutation draw
+    and every dataset read move wholesale to the worker, in the same order."""
+    import json
+
+    def run(tmp, prefetch):
+        cfg, model = _tiny_setup(tmp, cache_enabled=False)
+        dset = SyntheticTrainingDataset(n_samples=6, size=(64, 96),
+                                        sample_size=2, seed=0)
+        tr = Trainer("pf", model, [lambda: dset], Path(tmp) / "c",
+                     Path(tmp) / "l", max_epochs=2, batch_size=4,
+                     load_latest=False, prefetch=prefetch)
+        np.random.seed(7)
+        tr.train()
+        lines = (Path(tmp) / "l" / "pf" / "stats.jsonl").read_text().splitlines()
+        return [json.loads(x)["stats/loss"] for x in lines]
+
+    with tempfile.TemporaryDirectory() as a, \
+            tempfile.TemporaryDirectory() as b:
+        losses_inline = run(a, prefetch=False)
+        losses_prefetch = run(b, prefetch=True)
+    assert len(losses_inline) == 2
+    assert losses_inline == losses_prefetch
