@@ -42,6 +42,10 @@ def main():
                     help="fused = one-scan-program fast path; host = frame-at-"
                          "a-time reference-semantics loop; sharded = batch "
                          "sequences across all devices")
+    ap.add_argument("--spatial", type=int, default=0,
+                    help="fused engine: shard each frame's height over N "
+                         "devices ('spatial' mesh axis, GSPMD halo exchange) "
+                         "— multi-chip single-sequence latency mode")
     ap.add_argument("--pipeline", action="store_true",
                     help="fused/sharded engines: prefetch the next sequence "
                          "(or chunk)'s host prep — decode, uploads, "
@@ -116,7 +120,12 @@ def main():
                             pipeline=args.pipeline)
     else:  # fused (default)
         from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
-        tracker = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=16)
+        sp_mesh = None
+        if args.spatial:
+            from frtm_tpu.parallel import make_spatial_mesh
+            sp_mesh = make_spatial_mesh(n_spatial=args.spatial)
+        tracker = BatchedSequenceTracker(cfg, backbone, refiner,
+                                         extract_chunk=16, mesh=sp_mesh)
         tracker.run_dataset(dset, out_path, speedrun=args.dset == "dv2016val",
                             restart=args.restart, pipeline=args.pipeline)
 

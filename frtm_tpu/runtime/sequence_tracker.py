@@ -119,7 +119,16 @@ class BatchedSequenceTracker:
     def __init__(self, cfg: TrackerConfig, backbone_params, refiner_params,
                  extract_chunk: int = 8, merge_mode: str = "online",
                  scan_bucket: int = 16, augment_backend: str = "host",
-                 decode_chunk=None):
+                 decode_chunk=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'spatial' axis — the
+        multi-chip single-SEQUENCE mode: the feature pyramid and every
+        activation inside the scan/window programs shard along the frame
+        height over that axis (parallel/spatial.py semantics applied to the
+        whole fused tracker, not one frame), so N chips cooperate on one
+        sequence's latency. Target-model params/CG state stay replicated
+        (KB-scale); GSPMD inserts the conv halo exchanges and the solver's
+        global reductions become psums. Sharded-vs-single equivalence is
+        pinned by tests/test_spatial.py on a CPU mesh."""
         assert merge_mode in ("online", "deferred")
         # decoder sub-batch inside the windowed program: seg_network_apply's
         # per-frame cost RISES with batch on v5e (6.45/10.7/14.1 ms per 8
@@ -175,7 +184,6 @@ class BatchedSequenceTracker:
         cfgl = tuple(sorted(set(cfg.refnet_layers) | set(self._disc_layers),
                             reverse=True))
 
-        @jax.jit
         def _extract(bb, images):
             # features stay in the compute dtype end-to-end: the decoder is
             # bf16 and the solver's einsum upcasts layer4 itself
@@ -218,7 +226,6 @@ class BatchedSequenceTracker:
                 lambda f, l: ml_disc_init(p0, f, l, self._scan_disc_cfgs)
             )(ft, labels)
 
-        self._extract = _extract
         self._extract_disc_layer = _extract_disc_layer
         self._init_disc = _init_disc
         self._init_objects = _init_objects
@@ -226,8 +233,60 @@ class BatchedSequenceTracker:
         # the label outputs, so it only produced warnings — buffers free after
         # last use regardless)
         scan_fn, window_fn = self._make_scan()
-        self._scan_track = jax.jit(scan_fn, static_argnames=("im_size",))
-        self._window_track = jax.jit(window_fn, static_argnames=("im_size",))
+        self.mesh = mesh
+        if mesh is None:
+            self._extract = jax.jit(_extract)
+            self._scan_track = jax.jit(scan_fn, static_argnames=("im_size",))
+            self._window_track = jax.jit(window_fn,
+                                         static_argnames=("im_size",))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            # (T/N, h, w, c) / (N, H, W): axis 1 = height over 'spatial'.
+            sp = NamedSharding(mesh, P(None, "spatial"))
+            n_sp = mesh.shape["spatial"]
+
+            def constrain(x):
+                # shard along height only where it divides evenly; the
+                # deepest pyramid levels (h5 = H/32, e.g. 15 at DAVIS res)
+                # stay replicated — they are KB-to-MB-scale and their compute
+                # share is small, which is also the right perf call
+                if getattr(x, "ndim", 0) >= 3 and x.shape[1] % n_sp == 0 \
+                        and x.shape[1] >= n_sp:
+                    return jax.lax.with_sharding_constraint(x, sp)
+                return x
+
+            # params live mesh-replicated so every downstream jit (extract,
+            # init solves, scan) compiles onto the mesh's device set without
+            # per-call resharding or committed-device conflicts
+            self.backbone = jax.device_put(self.backbone, repl)
+            self.refiner = jax.device_put(self.refiner, repl)
+            self._disc_params0 = jax.device_put(self._disc_params0, repl)
+
+            def extract_sp(bb, images):
+                return jax.tree.map(constrain,
+                                    _extract(bb, constrain(images)))
+
+            def scan_sp(refiner, feats_all, disc_params, disc_states,
+                        start_frames, start_masks, lut, im_size):
+                feats_all = jax.tree.map(constrain, feats_all)
+                start_masks = constrain(start_masks)
+                return scan_fn(refiner, feats_all, disc_params, disc_states,
+                               start_frames, start_masks, lut,
+                               im_size=im_size)
+
+            def window_sp(refiner, feats_all, disc_params, disc_states,
+                          start_frames, start_masks, lut, im_size):
+                feats_all = jax.tree.map(constrain, feats_all)
+                start_masks = constrain(start_masks)
+                return window_fn(refiner, feats_all, disc_params, disc_states,
+                                 start_frames, start_masks, lut,
+                                 im_size=im_size)
+
+            self._extract = jax.jit(extract_sp)
+            self._scan_track = jax.jit(scan_sp, static_argnames=("im_size",))
+            self._window_track = jax.jit(window_sp,
+                                         static_argnames=("im_size",))
         self._merge_volume = jax.jit(merge_volume)
 
     # ------------------------------------------------------------------

@@ -33,8 +33,12 @@ def _make_fake_davis(root, seqs, year="2017"):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("engine", ["fused", "host", "sharded"])
+@pytest.mark.parametrize("engine", ["fused", "host", "sharded",
+                                    "fused-spatial"])
 def test_evaluate_cli_end_to_end(tmp_path, engine):
+    """'fused-spatial' drives the fused engine with --spatial 4 --pipeline:
+    the spatially-sharded scan (frame height over a 4-device 'spatial' mesh)
+    plus the prefetching dataset runner, through the real CLI."""
     from tests.test_checkpoint_conversion import _refiner_sd
     rng = np.random.RandomState(0)
 
@@ -46,11 +50,17 @@ def test_evaluate_cli_end_to_end(tmp_path, engine):
     ckpt = tmp_path / "rn18_fake.pth"
     torch.save({"model": _refiner_sd(rng, 256)}, ckpt)
 
+    extra = []
+    if engine == "fused-spatial":
+        engine = "fused"
+        extra = ["--spatial", "4", "--pipeline"]
+
     out = tmp_path / "results"
     r = subprocess.run(
         [sys.executable, str(REPO / "evaluate.py"), "--model", str(ckpt),
          "--dset", "dv2017val", "--dev", "cpu", "--fast", "--dtype", "float32",
-         "--davis", str(davis), "--output", str(out), "--engine", engine],
+         "--davis", str(davis), "--output", str(out), "--engine", engine]
+        + extra,
         capture_output=True, text=True, cwd=REPO, timeout=1200)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "Computing J-scores" in r.stdout

@@ -109,3 +109,39 @@ def test_spatial_dp_combo_matches_per_sample():
         want = np.asarray(step1(backbone, refiner, disc, images[b:b + 1]))
         np.testing.assert_allclose(got[b:b + 1], want, rtol=0, atol=1e-5,
                                    err_msg=f"sample {b}")
+
+
+def test_spatially_sharded_scan_tracker_matches_single():
+    """BatchedSequenceTracker(mesh=...) — the multi-chip single-sequence
+    mode: the whole fused scan runs with activations sharded along frame
+    height over the 'spatial' axis. Output labels must match the unsharded
+    tracker (same math; partitioning only moves fusion boundaries, so allow
+    the usual borderline-pixel tolerance)."""
+    from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
+    from frtm_tpu.data.synthetic import make_moving_square_sequence
+    from dataclasses import replace as _rp
+
+    cfg = eval_config(ARCH, fast=True, num_aug=2)
+    cfg = _rp(cfg, disc=_rp(cfg.disc, init_iters=(2,), update_iters=(2,),
+                            memory_size=4, c_channels=8, train_skipping=2))
+    backbone = init_resnet(jax.random.PRNGKey(1), ARCH)
+    ch = {L: c for L, c in resnet_out_channels(ARCH).items()
+          if L in cfg.refnet_layers}
+    refiner = init_seg_network(jax.random.PRNGKey(2), ch,
+                               use_bn=cfg.refnet_use_bn)
+    seq = make_moving_square_sequence(n_frames=5, size=(64, 96), square=16,
+                                      seed=3)
+
+    single = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4,
+                                    scan_bucket=2)
+    out_single, _ = single.run_sequence(seq)
+
+    mesh = make_spatial_mesh(n_spatial=4)
+    sharded = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4,
+                                     scan_bucket=2, mesh=mesh)
+    out_sharded, _ = sharded.run_sequence(seq)
+
+    assert len(out_single) == len(out_sharded) == 5
+    for t, (a, b) in enumerate(zip(out_single, out_sharded)):
+        frac_diff = np.mean(a != b)
+        assert frac_diff < 0.005, (t, frac_diff)
