@@ -105,6 +105,9 @@ def main():
     if args.pipeline and args.engine == "host":
         print("WARNING: --pipeline applies to the fused/sharded engines "
               "only; ignored for --engine host.")
+    if args.spatial and args.engine != "fused":
+        print("WARNING: --spatial applies to the fused engine only; "
+              f"ignored for --engine {args.engine}.")
 
     if args.engine == "host":
         tracker = Tracker(cfg, backbone, refiner)

@@ -151,8 +151,8 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         RNG). Memory then holds at most TWO chunks' preps instead of one."""
         import time
         from pathlib import Path
-        from concurrent.futures import ThreadPoolExecutor
         from ..data.image import imwrite_indexed
+        from ..utils.prefetch import prefetch_iter
 
         out_path = Path(out_path)
         groups = defaultdict(list)
@@ -177,16 +177,9 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         t0 = time.time()
         n_frames = 0
         seq_fps = []  # per-sequence completion fps (frames / chunk wall)
-        pool = ThreadPoolExecutor(max_workers=1) if pipeline else None
-        nxt = pool.submit(_prep_chunk, jobs[0][1]) if pipeline and jobs else None
-        for i, (key, batch) in enumerate(jobs):
+        for (key, batch), preps in prefetch_iter(
+                ((j, _prep_chunk(j[1])) for j in jobs), enabled=pipeline):
             tc = time.time()
-            if pipeline:
-                preps = nxt.result()
-                if i + 1 < len(jobs):
-                    nxt = pool.submit(_prep_chunk, jobs[i + 1][1])
-            else:
-                preps = _prep_chunk(batch)
             results = self._run_group(preps, key)
             chunk_wall = max(time.time() - tc, 1e-9)
             del preps  # decoded frames/features/init state die here
@@ -201,22 +194,22 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
                 if getattr(seq, "preloaded", None) is not None:
                     seq.preloaded = None  # release decoded frames
             del results
-        if pool is not None:
-            pool.shutdown()
         fps = n_frames / max(time.time() - t0, 1e-9)
         # TWO fps semantics, labeled so they are never cross-compared
         # (VERDICT r2 #9): `aggregate` is total frames / total wall across
-        # all sequences (throughput — the batched engine's natural metric);
+        # all sequences (throughput — the batched engine's natural metric;
+        # includes host prep whether it ran inline or prefetched);
         # `per-sequence mean` matches the reference's report shape (mean over
         # sequences of frames/wall, model/tracker.py:94-101) but each
-        # sequence's wall here covers its whole chunk, so it reads ~1/B of
-        # aggregate — a latency figure, NOT comparable to the host/fused
-        # engines' single-sequence fps.
+        # sequence's wall here covers its whole chunk's DEVICE pass — host
+        # prep is excluded in both pipeline modes so the two modes stay
+        # comparable — so it reads ~1/B of aggregate: a latency figure, NOT
+        # comparable to the host/fused engines' single-sequence fps.
         print("Sharded dataset pass: %.2f fps aggregate (all sequences / "
               "total wall)" % fps)
         if seq_fps:
             print("Sharded dataset pass: %.2f fps per-sequence mean "
-                  "(completion rate; chunks of %d run concurrently)"
+                  "(completion rate, ex-prep; chunks of %d run concurrently)"
                   % (float(np.mean(seq_fps)), chunk))
         return fps
 

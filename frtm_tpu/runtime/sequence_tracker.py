@@ -267,26 +267,19 @@ class BatchedSequenceTracker:
                 return jax.tree.map(constrain,
                                     _extract(bb, constrain(images)))
 
-            def scan_sp(refiner, feats_all, disc_params, disc_states,
-                        start_frames, start_masks, lut, im_size):
-                feats_all = jax.tree.map(constrain, feats_all)
-                start_masks = constrain(start_masks)
-                return scan_fn(refiner, feats_all, disc_params, disc_states,
-                               start_frames, start_masks, lut,
-                               im_size=im_size)
+            def _sp_track(fn):
+                def wrapped(refiner, feats_all, disc_params, disc_states,
+                            start_frames, start_masks, lut, im_size):
+                    feats_all = jax.tree.map(constrain, feats_all)
+                    start_masks = constrain(start_masks)
+                    return fn(refiner, feats_all, disc_params, disc_states,
+                              start_frames, start_masks, lut, im_size=im_size)
+                return jax.jit(wrapped, static_argnames=("im_size",))
 
-            def window_sp(refiner, feats_all, disc_params, disc_states,
-                          start_frames, start_masks, lut, im_size):
-                feats_all = jax.tree.map(constrain, feats_all)
-                start_masks = constrain(start_masks)
-                return window_fn(refiner, feats_all, disc_params, disc_states,
-                                 start_frames, start_masks, lut,
-                                 im_size=im_size)
-
+            self._sp_n = n_sp
             self._extract = jax.jit(extract_sp)
-            self._scan_track = jax.jit(scan_sp, static_argnames=("im_size",))
-            self._window_track = jax.jit(window_sp,
-                                         static_argnames=("im_size",))
+            self._scan_track = _sp_track(scan_fn)
+            self._window_track = _sp_track(window_fn)
         self._merge_volume = jax.jit(merge_volume)
 
     # ------------------------------------------------------------------
@@ -724,6 +717,19 @@ class BatchedSequenceTracker:
             self._frame0_dev = jax.device_put(images_np[0])
             chunks = None
 
+        if self.mesh is not None and images_np.shape[1] % self._sp_n \
+                and not getattr(self, "_sp_warned", False):
+            # indivisible top-level height -> the full-res input (and
+            # typically every level under it) replicates: N chips mostly
+            # redo the single-chip workload
+            import warnings
+            warnings.warn(
+                f"spatial mesh: frame height {images_np.shape[1]} is not "
+                f"divisible by n_spatial={self._sp_n} — the full-resolution "
+                "input replicates instead of sharding (pick a divisor of "
+                "the frame height for real spatial speedup)")
+            self._sp_warned = True
+
         if speedrun:
             # drain the warm-up's device work before the measured pass —
             # otherwise its scan still occupies the chip when the clock
@@ -900,7 +906,6 @@ class BatchedSequenceTracker:
         181-221 ex-augment vs 153-195 default in the same windows — so on
         hosts with local device attach (where prep, not transfer, is the
         bound) the prep share of the wall (~30%) is what it recovers."""
-        from concurrent.futures import ThreadPoolExecutor
         from pathlib import Path
         from ..data.image import imwrite_indexed
         from ..utils.meters import AverageMeter
@@ -931,27 +936,24 @@ class BatchedSequenceTracker:
             # the NEXT prefetch rewrites them
             return seq, self.prepare_sequence(seq)
 
+        from ..utils.prefetch import prefetch_iter
         t_all = time.time()
         n_frames = 0
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            nxt = pool.submit(_prefetch, sequences[0]) if sequences else None
-            for i, sequence in enumerate(sequences):
-                _, prep = nxt.result()
-                if i + 1 < len(sequences):
-                    nxt = pool.submit(_prefetch, sequences[i + 1])
-                outputs, seq_fps = self.run_sequence(sequence, speedrun,
-                                                     preloaded=prep)
-                fps_meter.update(seq_fps)
-                n_frames += len(sequence)
-                tag = (" (ex-augment)" if pipeline
-                       and self.augment_backend != "device" else "")
-                print(f"{sequence.name}: {seq_fps:.2f} fps{tag}")
-                dst = out_path / sequence.name
-                dst.mkdir(exist_ok=True)
-                for lb, f in zip(outputs, sequence.frame_names):
-                    imwrite_indexed(dst / (f + ".png"), lb)
-                sequence.preloaded = None  # release decoded frames
-                sequences[i] = None
+        for i, (sequence, prep) in enumerate(
+                prefetch_iter(map(_prefetch, sequences))):
+            outputs, seq_fps = self.run_sequence(sequence, speedrun,
+                                                 preloaded=prep)
+            fps_meter.update(seq_fps)
+            n_frames += len(sequence)
+            tag = (" (ex-augment)" if pipeline
+                   and self.augment_backend != "device" else "")
+            print(f"{sequence.name}: {seq_fps:.2f} fps{tag}")
+            dst = out_path / sequence.name
+            dst.mkdir(exist_ok=True)
+            for lb, f in zip(outputs, sequence.frame_names):
+                imwrite_indexed(dst / (f + ".png"), lb)
+            sequence.preloaded = None  # release decoded frames
+            sequences[i] = None
         wall = time.time() - t_all
         print("Average frame rate: %.2f fps" % fps_meter.avg)
         if pipeline:

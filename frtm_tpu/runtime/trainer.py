@@ -396,24 +396,14 @@ class Trainer:
             yield images, labels, specs, mask
 
     def _prefetched(self, it):
-        """One-ahead background-thread iteration: the generator body (dataset
-        reads, decode, np.stack) runs on the worker while the caller's device
-        step executes. Only the worker touches the iterator, so the epoch's
-        np.random.permutation draw happens on it exactly as it would inline —
-        same global-RNG sequence, bit-identical batches (pinned by test)."""
-        if not self.prefetch:
-            yield from it
-            return
-        from concurrent.futures import ThreadPoolExecutor
-        done = object()
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(next, it, done)
-            while True:
-                val = fut.result()
-                if val is done:
-                    return
-                fut = pool.submit(next, it, done)
-                yield val
+        """One-ahead background batch assembly (utils/prefetch.py): the
+        generator body (dataset reads, decode, np.stack) runs on the worker
+        while the device step executes. Only the worker touches the iterator,
+        so the epoch's np.random.permutation draw happens on it exactly as it
+        would inline — same global-RNG sequence, bit-identical batches
+        (pinned by test_prefetched_training_matches_inline)."""
+        from ..utils.prefetch import prefetch_iter
+        return prefetch_iter(it, enabled=self.prefetch)
 
     def _tb_writer(self):
         """Optional TensorBoard writer (the reference logs per-epoch scalars
