@@ -145,3 +145,38 @@ def test_spatially_sharded_scan_tracker_matches_single():
     for t, (a, b) in enumerate(zip(out_single, out_sharded)):
         frac_diff = np.mean(a != b)
         assert frac_diff < 0.005, (t, frac_diff)
+
+
+def test_spatially_sharded_deferred_merge_matches_single():
+    """mesh= x merge_mode='deferred' (the legacy YTVOS path): the deferred
+    merge assembles the soft volume with jnp ops OUTSIDE jit on mesh-sharded
+    scan outputs — must agree with the unsharded deferred tracker."""
+    from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
+    from frtm_tpu.data.synthetic import make_moving_square_sequence
+    from dataclasses import replace as _rp
+
+    cfg = eval_config(ARCH, fast=True, num_aug=2)
+    cfg = _rp(cfg, disc=_rp(cfg.disc, init_iters=(2,), update_iters=(2,),
+                            memory_size=4, c_channels=8, train_skipping=2))
+    backbone = init_resnet(jax.random.PRNGKey(1), ARCH)
+    ch = {L: c for L, c in resnet_out_channels(ARCH).items()
+          if L in cfg.refnet_layers}
+    refiner = init_seg_network(jax.random.PRNGKey(2), ch,
+                               use_bn=cfg.refnet_use_bn)
+    seq = make_moving_square_sequence(n_frames=4, size=(64, 96), square=16,
+                                      n_objects=2, seed=5)
+
+    single = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4,
+                                    scan_bucket=2, merge_mode="deferred")
+    out_single, _ = single.run_sequence(seq)
+
+    mesh = make_spatial_mesh(n_spatial=4)
+    sharded = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4,
+                                     scan_bucket=2, merge_mode="deferred",
+                                     mesh=mesh)
+    out_sharded, _ = sharded.run_sequence(seq)
+
+    assert len(out_single) == len(out_sharded) == 4
+    for t, (a, b) in enumerate(zip(out_single, out_sharded)):
+        frac_diff = np.mean(a != b)
+        assert frac_diff < 0.005, (t, frac_diff)
