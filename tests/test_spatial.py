@@ -147,6 +147,7 @@ def test_spatially_sharded_scan_tracker_matches_single():
         assert frac_diff < 0.005, (t, frac_diff)
 
 
+@pytest.mark.slow
 def test_spatially_sharded_deferred_merge_matches_single():
     """mesh= x merge_mode='deferred' (the legacy YTVOS path): the deferred
     merge assembles the soft volume with jnp ops OUTSIDE jit on mesh-sharded
@@ -177,6 +178,42 @@ def test_spatially_sharded_deferred_merge_matches_single():
     out_sharded, _ = sharded.run_sequence(seq)
 
     assert len(out_single) == len(out_sharded) == 4
+    for t, (a, b) in enumerate(zip(out_single, out_sharded)):
+        frac_diff = np.mean(a != b)
+        assert frac_diff < 0.005, (t, frac_diff)
+
+
+@pytest.mark.slow
+def test_spatially_sharded_multilayer_scan_matches_single():
+    """mesh= x disc_layers=('layer4','layer3'): per-layer target models (the
+    legacy multilayer capability) on the spatially-sharded fused scan must
+    agree with the unsharded multilayer scan."""
+    from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
+    from frtm_tpu.data.synthetic import make_moving_square_sequence
+    from dataclasses import replace as _rp
+
+    cfg = eval_config(ARCH, fast=True, num_aug=2)
+    disc = _rp(cfg.disc, init_iters=(2,), update_iters=(2,), memory_size=4,
+               c_channels=8, train_skipping=2)
+    cfg = _rp(cfg, disc=disc, disc_layers=("layer4", "layer3"))
+    backbone = init_resnet(jax.random.PRNGKey(1), ARCH)
+    ch = {L: c for L, c in resnet_out_channels(ARCH).items()
+          if L in cfg.refnet_layers}
+    refiner = init_seg_network(jax.random.PRNGKey(2), ch,
+                               in_channels=len(cfg.disc_layers),
+                               use_bn=cfg.refnet_use_bn)
+    seq = make_moving_square_sequence(n_frames=4, size=(64, 96), square=16,
+                                      seed=6)
+
+    single = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4,
+                                    scan_bucket=2)
+    out_single, _ = single.run_sequence(seq)
+
+    mesh = make_spatial_mesh(n_spatial=4)
+    sharded = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4,
+                                     scan_bucket=2, mesh=mesh)
+    out_sharded, _ = sharded.run_sequence(seq)
+
     for t, (a, b) in enumerate(zip(out_single, out_sharded)):
         frac_diff = np.mean(a != b)
         assert frac_diff < 0.005, (t, frac_diff)
