@@ -209,16 +209,18 @@ def extract_features(params, images, arch: str, output_layers=None,
         if want is None or name in want:
             out[name] = t.astype(out_dtype)
 
-    x = relu(batch_norm(conv2d(x, cast(params["conv1"]), stride=2), jax.tree.map(cast, params["bn1"])))
-    x = max_pool_3x3_s2(x)
+    with jax.named_scope("stem"):
+        x = relu(batch_norm(conv2d(x, cast(params["conv1"]), stride=2), jax.tree.map(cast, params["bn1"])))
+        x = max_pool_3x3_s2(x)
     save("layer1", x)
     if deepest == "layer1":  # stem-only request: skip all residual stages
         return out
     for si, stage in enumerate(params["stages"]):
         name = f"layer{si + 2}"
-        for bi, blk in enumerate(stage):
-            stride = 2 if (si > 0 and bi == 0) else 1
-            x = block_fn(jax.tree.map(cast, blk), x, stride)
+        with jax.named_scope(f"stage{si + 1}"):
+            for bi, blk in enumerate(stage):
+                stride = 2 if (si > 0 and bi == 0) else 1
+                x = block_fn(jax.tree.map(cast, blk), x, stride)
         save(name, x)
         if name == deepest:
             break
