@@ -66,6 +66,53 @@ def _conv3x3_wfold(x, w, k: int = 8, precision=None):
     return v.reshape(n, h, wp, 1)[:, :, :wd]
 
 
+@lru_cache(maxsize=4)
+def _s2d_stem_map(ci):
+    """Constant 0/1 map folding a 7x7/stride-2 kernel into the equivalent
+    4x4/stride-1 kernel over the space-to-depth(2) input: tap (a, b) of the
+    original kernel lands at folded tap (alpha+2, beta+2) and channel slot
+    (u, v, c), where a - 3 = 2*alpha + u and b - 3 = 2*beta + v."""
+    M = np.zeros((7, 7, 4, 4, 2, 2), np.float32)
+    for a in range(7):
+        al, u = divmod(a - 3, 2)
+        for b in range(7):
+            be, v = divmod(b - 3, 2)
+            M[a, b, al + 2, be + 2, u, v] = 1.0
+    return M
+
+
+def _conv7x7_s2_s2d(x, w, precision=None):
+    """7x7/stride-2/pad-3 conv (the ResNet stem) via space-to-depth(2) —
+    MEASURED AND REJECTED; conv2d keeps the direct lowering for the stem.
+
+    The hypothesis: a cin=3 conv uses 3 of the MXU's 128 contraction lanes
+    (~7% utilisation at 2.24 ms for (16,480,854,3)->(16,240,427,64) on v5e,
+    scripts/bench_extract_breakdown.py), so regrouping 2x2 pixel blocks into
+    channels should quadruple the occupied lanes: out[i,j] = sum_{a,b}
+    k[a,b] x[2i+a-3, 2j+b-3] with a-3 = 2*alpha+u becomes a 4x4/stride-1
+    conv over y[p,q,(u,v,c)] = x[2p+u, 2q+v, c] with asymmetric pad (2,1)
+    (the (alpha=-2, u=0) slot maps to a=-1 and stays zero). Products are
+    identical to the direct lowering (test_ops.py pins exactness).
+
+    The v5e measurement killed it (scripts/bench_stem_variants.py, B=16
+    marginal): the folded conv alone is faster (1.36 vs 2.24 ms trace) but
+    the NHWC space-to-depth transpose costs ~1.1 ms on top — net 3.37 vs
+    2.29 ms direct. Width-only folds whose reshapes ARE free (contiguous)
+    also lose: wfold2 (cin=6, kernel 7x4) 2.53 ms, wfold4 (pad W to 856,
+    cin=12, output phase folded into channels, free both ways) 2.92 ms —
+    XLA's own cin=3 conv lowering already packs the stem efficiently.
+    Kept as the measurement record."""
+    n, h, wd, ci = x.shape
+    y = x.reshape(n, h // 2, 2, wd // 2, 2, ci)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, wd // 2, 4 * ci)
+    co = w.shape[3]
+    k4 = jnp.einsum("abcd,abABuv->ABuvcd", w.astype(jnp.float32),
+                    jnp.asarray(_s2d_stem_map(ci)))
+    k4 = k4.reshape(4, 4, 4 * ci, co).astype(w.dtype)
+    return lax.conv_general_dilated(y, k4, (1, 1), [(2, 1), (2, 1)],
+                                    dimension_numbers=_DN, precision=precision)
+
+
 def _conv3x3_tapsum(x, w, precision=None):
     """Stride-1 3x3 conv as 9 shifted-slice dot_generals accumulated in f32.
     Numerically equivalent to the direct conv (same products, f32 accumulation

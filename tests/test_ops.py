@@ -228,6 +228,24 @@ def test_conv2d_wfold_matches_direct_lowering(rng):
         np.testing.assert_allclose(fast, direct, atol=1e-5, rtol=1e-5)
 
 
+def test_conv2d_stem_s2d_matches_direct_lowering(rng):
+    """The measured-and-rejected stem lowering (space-to-depth(2) + folded
+    4x4 kernel, ops/conv.py _conv7x7_s2_s2d — see its docstring for the v5e
+    numbers that keep it out of conv2d's dispatch) stays numerically exact
+    vs the direct conv so the measurement record remains reproducible."""
+    from jax import lax
+    from frtm_tpu.ops.conv import _conv7x7_s2_s2d
+    for cin, cout, h, w in [(3, 64, 48, 86), (3, 8, 32, 46), (4, 5, 16, 20)]:
+        x = rng.randn(2, h, w, cin).astype(np.float32)
+        k = (rng.randn(7, 7, cin, cout).astype(np.float32) * 0.1)
+        fast = np.asarray(_conv7x7_s2_s2d(jnp.asarray(x), jnp.asarray(k)))
+        dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        direct = np.asarray(lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(k), (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=dn))
+        np.testing.assert_allclose(fast, direct, atol=1e-4, rtol=1e-4)
+
+
 def test_pallas_conv_small_interpret_parity(rng):
     """The measured-and-rejected VPU kernel (ops/pallas/conv_small.py) stays
     exact — it is kept as the recorded experiment for the cout=1 decoder conv."""
