@@ -18,7 +18,18 @@ exchangeable).
 
 Blur kernels of different sizes are zero-embedded into one static (kmax,
 kmax) shape (identity delta when no blur) so the whole spec batch shares one
-program."""
+program.
+
+MEASURED (round 3, real v5e via the tunnel, rn101 480x854 bench protocol,
+scripts/bench_augment_backend.py): host-cv2 median 167.4 fps vs device 28.9.
+The on-device spec batch costs ~2.0 s wall per sequence (host CPU in the
+augment phase is only ~37 ms — the time is the device program itself): the
+full-resolution bicubic warps are XLA gathers, which do not vectorize on the
+VPU (same root cause as the round-2 "device-side gather warp" anti-lesson,
+2.5 s vs 56 ms host cv2). Keep `augment_backend='host'` on this class of
+hardware; this backend remains useful only where host compute is the scarcer
+resource than device cycles AND the link is too thin to ship augmented
+frames."""
 from functools import partial
 
 import numpy as np
@@ -44,15 +55,22 @@ def _batch_augment(inpainted, target_crop, mask, fg_T, fg_T_full, fg_K,
                    bg_T, bg_K, out_hw):
     """Evaluate all specs on device.
 
-    :param inpainted:   (H, W, 3) f32 background
-    :param target_crop: (hc, wc, 4) f32 RGBA target cutout
-    :param mask:        (H, W, 1) f32 binary target mask
+    :param inpainted:   (H, W, 3) uint8 background (cast to f32 on device —
+                         uploading uint8 is 4x less traffic on a thin link)
+    :param target_crop: (hc, wc, 4) uint8 RGBA target cutout (values are exact
+                         integers in [0,255] by construction: cut_and_inpaint
+                         concatenates mask*image with a cv2-uint8 alpha)
+    :param mask:        (H, W, 1) uint8 binary target mask
     :param fg_T:        (S, 3, 3) transforms mapping CROP coords -> output
     :param fg_T_full:   (S, 3, 3) transforms mapping FULL coords -> output
     :param fg_K/bg_K:   (S, kmax, kmax) blur kernels (delta = no blur)
     :param bg_T:        (S, 3, 3) background transforms (identity = skip-alike)
     :return: images (S, H, W, 3), labels (S, H, W, 1), fg pixel counts (S,)
     """
+    inpainted = inpainted.astype(jnp.float32)
+    target_crop = target_crop.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+
     def _filter(img, K):
         k = K[..., None, None]
         x = jnp.moveaxis(img, -1, 0)[..., None]
@@ -127,10 +145,12 @@ class DeviceAugmenter:
         fg_sel["location"] = self.host.generate_target_locations(p["num_aug"], (H, W), rng)
         bg_sel = p.get("bg_aug_params")
 
-        # device-resident inputs (tiny uploads)
-        inp_dev = jnp.asarray(inpainted, jnp.float32)
-        tgt_dev = jnp.asarray(target_crop)
-        msk_dev = jnp.asarray(mask_np)
+        # device-resident inputs (tiny uploads — uint8 on the wire, cast to
+        # f32 inside the jitted batch; target_crop is integral in [0,255] by
+        # construction so the uint8 round-trip is lossless)
+        inp_dev = jnp.asarray(inpainted)  # already uint8
+        tgt_dev = jnp.asarray(target_crop.astype(np.uint8))
+        msk_dev = jnp.asarray(mask_np.astype(np.uint8))
         img_dev = (image_dev if image_dev is not None
                    else jnp.asarray(image)).astype(jnp.float32)
 
