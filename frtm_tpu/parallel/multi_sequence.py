@@ -15,6 +15,7 @@ Batching rules (static shapes):
   * groups are padded up to a multiple of the mesh size on the sequence axis
     by repeating sequences (their outputs are dropped)
 """
+import time
 from collections import defaultdict
 
 import numpy as np
@@ -135,10 +136,14 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         (the reference streams sequence-by-sequence, model/tracker.py:88-99;
         here the unit is a mesh-sized chunk of sequences).
 
-        `speedrun` is accepted for signature compatibility with
-        BatchedSequenceTracker.run_dataset (so a positional third argument is
-        never silently consumed as `restart`); warm-up passes are meaningless
-        for the batched engine and the flag is ignored.
+        `speedrun` warms every distinct group PROGRAM before the clock
+        starts (round-3 verdict #5: a cold persistent cache otherwise puts
+        ~90 s of remote compile into the first chunk's aggregate fps): one
+        member of each group is prepared once and run at the chunk's real
+        batch width (the prep is replicated, so the warm-up costs one
+        sequence's host prep plus one device pass per distinct program). The
+        reference's analogue is its DAVIS-2016 warm-up pass
+        (model/tracker.py:120-127).
 
         Groups sequences by program shape from metadata, then per chunk of
         `n_devices * chunk_multiple` sequences: decode + init + track + write
@@ -149,7 +154,6 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         occupies the mesh — same overlap as the fused engine's pipelined
         runner, byte-identical outputs (deterministic per-object augment
         RNG). Memory then holds at most TWO chunks' preps instead of one."""
-        import time
         from pathlib import Path
         from ..data.image import imwrite_indexed
         from ..utils.prefetch import prefetch_iter
@@ -173,6 +177,20 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
             # sole augmenter user in pipeline mode (the main thread never
             # calls _prepare then), so its buffer reuse stays single-threaded
             return [(seq, self._prepare(seq)) for seq in batch]
+
+        if speedrun:
+            warmed = set()
+            for key, batch in jobs:
+                if key in warmed:
+                    continue
+                warmed.add(key)
+                # replicate one prepared member to the chunk's real batch
+                # width so the warm-up compiles the exact program the clocked
+                # chunks will run (B and its mesh-padded Bp match)
+                preps = _prep_chunk(batch[:1]) * min(len(batch), chunk)
+                self._run_group(preps, key)
+                del preps
+            print(f"speedrun: warmed {len(warmed)} group program(s) pre-clock")
 
         t0 = time.time()
         n_frames = 0
@@ -257,12 +275,18 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
                     bucket_T=bucket_T, n_pad=n_pad, im_size=im_size,
                     group_key=group_key)
 
-    def _run_group(self, seq_preps, key, as_device=False):
+    def _run_group(self, seq_preps, key, as_device=False, timer=None):
         """Track one shape-group of prepared sequences in a single sharded
         vmapped scan program. as_device=True returns the raw (Bp, T, H, W)
         device label volume without downloading (callers that want the
         download outside a timing window, e.g. bench.py, fetch it
-        themselves); only merge_mode='online' supports it."""
+        themselves); only merge_mode='online' supports it. An optional
+        PhaseTimer attributes the host-side dispatch wall to its three
+        stages (init-solve upload+dispatch, per-sequence feature buffer
+        build, scan dispatch) — bench.py uses this to report where a
+        batched pass's wall goes."""
+        from ..utils.profiling import PhaseTimer
+        timer = timer or PhaseTimer(sync=False)
         im_size, bucket_T, n_obj = key
         B = len(seq_preps)
         Bp = -(-B // self.n_devices) * self.n_devices  # pad to mesh multiple
@@ -270,17 +294,19 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         # ONE batched extract + vmapped GN-CG over every object in the group
         # (the solves were deferred by _prepare): a B=4 single-object group
         # costs one dispatch pair instead of eight inside the fps window
-        pairs = [p for _, prep in seq_preps for p in prep["aug"]]
-        ims = jnp.asarray(np.stack([a for a, _ in pairs]))
-        lbs = jnp.asarray(np.stack([b for _, b in pairs]))
-        params_all, states_all = self._init_objects(
-            self.backbone, self._disc_params0, ims, lbs)
+        with timer.phase("group_init"):
+            pairs = [p for _, prep in seq_preps for p in prep["aug"]]
+            ims = jnp.asarray(np.stack([a for a, _ in pairs]))
+            lbs = jnp.asarray(np.stack([b for _, b in pairs]))
+            params_all, states_all = self._init_objects(
+                self.backbone, self._disc_params0, ims, lbs)
         obj_ofs = np.cumsum([0] + [len(prep["objects"])
                                    for _, prep in seq_preps])
 
         feats_bufs = None  # {L: (Bp, bucket_T, h, w, c)} built in place
         dp_b, ds_b, sf_b, sm_b, lut_b = [], [], [], [], []
         H, W = im_size
+        t_f0, c_f0 = time.perf_counter(), time.thread_time()
         for i in range(B):
             sequence, prep = seq_preps[i]
             feats_all = self._extract_sequence(prep["images"][1:],
@@ -351,11 +377,14 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
             not self.disc_cfg.update_filters
             or all(o[1] % w_win == 0 for o in prep["objects"])
             for _, prep in seq_preps)
-        stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
-        outs, _, _ = self._get_vscan(im_size, windowed)(
-            self.refiner, feats_bufs, stack(dp_b),
-            stack(ds_b), jnp.asarray(np.stack(sf_b)),
-            jnp.asarray(np.stack(sm_b)), jnp.asarray(np.stack(lut_b)))
+        timer.add("group_feats", time.perf_counter() - t_f0,
+                  time.thread_time() - c_f0)
+        with timer.phase("group_scan"):
+            stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
+            outs, _, _ = self._get_vscan(im_size, windowed)(
+                self.refiner, feats_bufs, stack(dp_b),
+                stack(ds_b), jnp.asarray(np.stack(sf_b)),
+                jnp.asarray(np.stack(sm_b)), jnp.asarray(np.stack(lut_b)))
         if as_device:
             assert self.merge_mode == "online"
             return outs

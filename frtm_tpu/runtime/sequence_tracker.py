@@ -591,6 +591,22 @@ class BatchedSequenceTracker:
 
     # ------------------------------------------------------------------
 
+    def _drain_uploads(self, arrays):
+        """True pre-clock barrier on in-flight host->device transfers.
+        jax.block_until_ready does NOT reliably block on the remote-tunnel
+        runtime (CLAUDE.md microbench methodology), so a pass's 78 MB frame
+        preload could still be STREAMING through the tunnel thread when the
+        clock started — and on this 1-core host that thread starves the
+        in-clock cv2 augment 2-4x (measured round 4: 127-492 ms/object with
+        uploads in flight vs 48-62 ms for the batched engine, whose preload
+        finished long before its clock). Dispatching a scalar that consumes
+        one element of every array and downloading it forces the runtime to
+        land all transfers first; the round trip itself costs ~1 ms."""
+        if not hasattr(self, "_drain_jit"):
+            self._drain_jit = jax.jit(
+                lambda xs: sum(x.ravel()[0].astype(jnp.float32) for x in xs))
+        float(self._drain_jit(list(arrays)))
+
     def _upload_chunks(self, images_np):
         """Start async host->device uploads of fixed-size frame chunks.
         Called before the timed region — the reference likewise preloads all
@@ -745,7 +761,7 @@ class BatchedSequenceTracker:
         timer = PhaseTimer(sync=False)
         if chunks is None:
             chunks = self._upload_chunks(images_np[1:])  # preload, like the reference
-        jax.block_until_ready([self._frame0_dev] + [c for c, _ in chunks])
+        self._drain_uploads([self._frame0_dev] + [c for c, _ in chunks])
         # preload COMPLETES before the clock starts (reference:
         # sequence.preload(device) precedes the timed loop,
         # model/tracker.py:88-91,130)

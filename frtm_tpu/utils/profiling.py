@@ -52,6 +52,13 @@ class PhaseTimer:
             "count": self.counts[name],
         } for name in self.totals}
 
+    def add(self, name, seconds, cpu_seconds=0.0):
+        """Record one pre-measured interval (for regions that can't nest a
+        context manager, e.g. a loop timed across restructure-hostile code)."""
+        self.totals[name] += seconds
+        self.cpu_totals[name] += cpu_seconds
+        self.counts[name] += 1
+
     def reset(self):
         self.totals.clear()
         self.cpu_totals.clear()

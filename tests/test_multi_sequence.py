@@ -176,6 +176,60 @@ def test_run_dataset_streams_with_bounded_memory(tmp_path):
     assert sum(1 for _ in out.iterdir()) == n_seqs
 
 
+def test_sharded_run_dataset_speedrun_warms_programs(tmp_path, capsys):
+    """run_dataset(speedrun=True) compiles every distinct group program
+    BEFORE the fps clock (round-3 verdict #5: a cold cache otherwise puts
+    the first chunk's compile into the aggregate figure): every _run_group
+    call inside the clocked loop must hit an already-populated program
+    cache, and outputs must be byte-identical to the default pass."""
+    cfg, backbone, refiner = _tiny_cfg()
+    seqs = [make_moving_square_sequence(n_frames=3, size=(32, 48), square=12,
+                                        seed=s, name=f"w{s:02d}")
+            for s in range(10)]
+    # a second shape group (longer sequences -> different length bucket)
+    seqs += [make_moving_square_sequence(n_frames=7, size=(32, 48), square=12,
+                                         seed=20 + s, name=f"wl{s}")
+             for s in range(2)]
+
+    mesh = make_mesh(8)
+    tracker = ShardedSequenceTracker(cfg, backbone, refiner, mesh,
+                                     extract_chunk=2, length_bucket=4)
+
+    def n_programs():
+        # executables traced+compiled under the vmapped-scan jits (the two
+        # groups here share a _vscan_cache entry but have different shapes,
+        # i.e. different XLA programs under the same jit wrapper)
+        return sum(f._cache_size() for f in tracker._vscan_cache.values())
+
+    deltas = []
+    orig = tracker._run_group
+
+    def spy(seq_preps, key):
+        before = n_programs()
+        out = orig(seq_preps, key)
+        deltas.append(n_programs() - before)
+        return out
+
+    tracker._run_group = spy
+    tracker.run_dataset(list(seqs), tmp_path / "a", speedrun=True)
+    assert "warmed 2 group program(s)" in capsys.readouterr().out
+    # the two warm-up calls compile; every CLOCKED call hits a warm program
+    assert deltas[0] == 1 and deltas[1] == 1 and len(deltas) > 2
+    assert all(d == 0 for d in deltas[2:]), deltas
+
+    tracker2 = ShardedSequenceTracker(cfg, backbone, refiner, mesh,
+                                      extract_chunk=2, length_bucket=4)
+    tracker2.run_dataset(list(seqs), tmp_path / "b")
+    files_a = sorted(p.relative_to(tmp_path / "a")
+                     for p in (tmp_path / "a").rglob("*.png"))
+    files_b = sorted(p.relative_to(tmp_path / "b")
+                     for p in (tmp_path / "b").rglob("*.png"))
+    assert files_a == files_b and len(files_a) == 44
+    for rel in files_a:
+        assert (tmp_path / "a" / rel).read_bytes() == \
+               (tmp_path / "b" / rel).read_bytes(), rel
+
+
 def test_sharded_pipelined_run_dataset_matches_default(tmp_path):
     """run_dataset(pipeline=True) prefetches the NEXT chunk's host prep on a
     background thread; the written PNGs must be byte-identical to the
