@@ -46,6 +46,12 @@ def main():
                     help="fused engine: shard each frame's height over N "
                          "devices ('spatial' mesh axis, GSPMD halo exchange) "
                          "— multi-chip single-sequence latency mode")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed and partition the "
+                         "dataset's sequences round-robin across processes "
+                         "(each host tracks its share on its own devices — "
+                         "no cross-host collectives). No-ops gracefully on "
+                         "a single host. See docs/MULTIHOST.md.")
     ap.add_argument("--pipeline", action="store_true",
                     help="fused/sharded engines: prefetch the next sequence "
                          "(or chunk)'s host prep — decode, uploads, "
@@ -102,6 +108,24 @@ def main():
     out_path = Path(args.output).expanduser().resolve() / ex_name
     out_path.mkdir(exist_ok=True, parents=True)
 
+    pid, n_proc = 0, 1
+    if args.multihost:
+        from frtm_tpu.parallel.distributed import init_distributed, process_slice
+        pid, n_proc = init_distributed()
+        if n_proc > 1:
+            # sequences are independent: each process tracks its round-robin
+            # share on its own devices and writes into the shared out_path —
+            # pod-scale inference with zero cross-host collectives
+            seqs = list(dset)
+            keep = set(process_slice(len(seqs), pid, n_proc))
+            dset_run = [s for i, s in enumerate(seqs) if i in keep]
+            print(f"multihost: process {pid}/{n_proc} tracking "
+                  f"{len(dset_run)}/{len(seqs)} sequences")
+        else:
+            dset_run = dset
+    else:
+        dset_run = dset
+
     if args.pipeline and args.engine == "host":
         print("WARNING: --pipeline applies to the fused/sharded engines "
               "only; ignored for --engine host.")
@@ -111,15 +135,21 @@ def main():
 
     if args.engine == "host":
         tracker = Tracker(cfg, backbone, refiner)
-        tracker.run_dataset(dset, out_path, speedrun=args.dset == "dv2016val",
+        tracker.run_dataset(dset_run, out_path,
+                            speedrun=args.dset == "dv2016val",
                             restart=args.restart)
     elif args.engine == "sharded":
-        from frtm_tpu.parallel import make_mesh, ShardedSequenceTracker
-        mesh = make_mesh()
+        from frtm_tpu.parallel import ShardedSequenceTracker
+        if n_proc > 1:
+            from frtm_tpu.parallel.distributed import local_mesh
+            mesh = local_mesh()   # this host's devices; no cross-host program
+        else:
+            from frtm_tpu.parallel import make_mesh
+            mesh = make_mesh()
         tracker = ShardedSequenceTracker(cfg, backbone, refiner, mesh)
         # streaming: decode/track/write/release one mesh-sized chunk at a
         # time — memory stays bounded on hundred-sequence datasets
-        tracker.run_dataset(dset, out_path, restart=args.restart,
+        tracker.run_dataset(dset_run, out_path, restart=args.restart,
                             pipeline=args.pipeline)
     else:  # fused (default)
         from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
@@ -129,8 +159,16 @@ def main():
             sp_mesh = make_spatial_mesh(n_spatial=args.spatial)
         tracker = BatchedSequenceTracker(cfg, backbone, refiner,
                                          extract_chunk=16, mesh=sp_mesh)
-        tracker.run_dataset(dset, out_path, speedrun=args.dset == "dv2016val",
+        tracker.run_dataset(dset_run, out_path,
+                            speedrun=args.dset == "dv2016val",
                             restart=args.restart, pipeline=args.pipeline)
+
+    if n_proc > 1:
+        # all processes must have written their PNGs before rank 0 scores
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("frtm_eval_outputs_done")
+        if pid != 0:
+            return
 
     dset.all_annotations = True
     print("\nComputing J-scores")

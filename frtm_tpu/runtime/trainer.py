@@ -333,6 +333,14 @@ class Trainer:
         self.save_interval = save_interval
         self.prefetch = prefetch
         self.stats = defaultdict(AverageMeter)
+        self.mesh = mesh
+        # multi-host: every process runs this same loop over the GLOBAL mesh;
+        # each materializes only its own batch rows (parallel/distributed.py)
+        self._n_proc = jax.process_count()
+        self._pid = jax.process_index()
+        if self._n_proc > 1 and mesh is None:
+            raise ValueError("multi-process training requires a global mesh "
+                             "(Trainer(mesh=global_mesh()))")
 
         # lr lives in the opt state (inject_hyperparams); StepLR sets it per epoch
         self._lr = lambda: self.base_lr * (self.lr_gamma ** ((self.epoch - 1) // self.lr_step))
@@ -378,22 +386,51 @@ class Trainer:
         /root/reference/lib/training.py:121-122 — and static TPU shapes
         forbid a smaller last program; the masked step makes loss/grads
         exactly the remainder's, see TrainerModel.train_step)."""
-        order = np.random.permutation(len(dataset))
+        if self._n_proc > 1:
+            # every process must agree on the epoch's batch order (they run
+            # the same global-mesh program); an epoch-seeded draw replaces
+            # the global-RNG draw, and each process materializes only the
+            # contiguous row range its devices own
+            order = np.random.RandomState(self.epoch).permutation(len(dataset))
+        else:
+            order = np.random.permutation(len(dataset))
         for start in range(0, len(order), self.batch_size):
             idx = list(order[start:start + self.batch_size])
             n_real = len(idx)
             idx += [idx[i % n_real] for i in range(self.batch_size - n_real)]
-            samples = [dataset[int(i)] for i in idx]
+            if self._n_proc > 1:
+                from ..parallel.distributed import batch_rows
+                lo, hi = batch_rows(self.batch_size, self._pid, self._n_proc)
+                local_idx = idx[lo:hi]
+            else:
+                local_idx = idx
+            samples = [dataset[int(i)] for i in local_idx]
             T = len(samples[0][0])
             images = np.stack([np.stack([s[0][t] for s in samples]) for t in range(T)])
             labels = np.stack([np.stack([s[1][t] for s in samples]) for t in range(T)])
             specs = SampleSpec.from_encoded([s[2] for s in samples])
             mask = np.zeros(self.batch_size, np.float32)
             mask[:n_real] = 1.0
+            if self._n_proc > 1:
+                mask = mask[lo:hi]  # this process's rows of the global mask
             # native dtype (uint8 for real datasets): the device casts where
             # needed (extract_features normalises any 0-255 dtype, the loss
             # casts labels) and the tunnel uploads 4x fewer bytes than f32
             yield images, labels, specs, mask
+
+    def _feed(self, disc_batch, images, labels, mask):
+        """Device-feed one batch. Single process: plain uploads (the jitted
+        step's in_shardings place them). Multi-process: each leaf holds only
+        this process's rows; wrap them into global batch-sharded jax.Arrays
+        over the global mesh (no cross-host transfer — every process feeds
+        the rows its own devices own)."""
+        if self._n_proc == 1:
+            return (disc_batch, jnp.asarray(images), jnp.asarray(labels),
+                    jnp.asarray(mask))
+        from ..parallel.distributed import global_batch
+        g = lambda a, ax: global_batch(self.mesh, a, ax)
+        disc_batch = jax.tree.map(lambda x: g(np.asarray(x), 0), disc_batch)
+        return disc_batch, g(images, 1), g(labels, 1), g(mask, 0)
 
     def _prefetched(self, it):
         """One-ahead background batch assembly (utils/prefetch.py): the
@@ -408,6 +445,8 @@ class Trainer:
     def _tb_writer(self):
         """Optional TensorBoard writer (the reference logs per-epoch scalars
         via SummaryWriter, lib/training.py:104-110); JSONL is the primary log."""
+        if self._pid != 0:
+            return None  # one writer per run under multi-host
         try:
             from torch.utils.tensorboard import SummaryWriter
             return SummaryWriter(str(self.log_path))
@@ -433,10 +472,11 @@ class Trainer:
                 self.opt_state.hyperparams["learning_rate"] = jnp.asarray(self._lr())
                 disc_batch, hits = self.model.build_disc_batch(
                     images[0], labels[0], specs)
+                disc_batch, images_d, labels_d, mask_d = self._feed(
+                    disc_batch, images, labels, mask)
                 self.model.refiner, self.opt_state, stats = self._jit_step(
                     self.model.refiner, self.opt_state, self.model.backbone,
-                    disc_batch, jnp.asarray(images), jnp.asarray(labels),
-                    jnp.asarray(mask))
+                    disc_batch, images_d, labels_d, mask_d)
                 jax.block_until_ready(self.model.refiner)
                 runtime.update(time.time() - t0)
                 t0 = time.time()
@@ -452,12 +492,14 @@ class Trainer:
                       + ", ".join(f"{k.split('/')[-1]}={m.val:.5f} ({m.avg:.5f})"
                                   for k, m in self.stats.items()))
 
-            if self.epoch % self.save_interval == 0:
-                self.save_checkpoint()
+            if self.epoch % self.save_interval == 0 and self._pid == 0:
+                self.save_checkpoint()  # params are replicated: one writer
             import json as _json
-            print(_json.dumps({"epoch": self.epoch,
-                               **{k: m.avg for k, m in self.stats.items()}}),
-                  file=log_file, flush=True)
+            if self._pid == 0:
+                print(_json.dumps(
+                    {"epoch": self.epoch,
+                     **{k: m.avg for k, m in self.stats.items()}}),
+                    file=log_file, flush=True)
             if tb is not None:
                 for k, m in self.stats.items():
                     tb.add_scalar(k, m.avg, self.epoch)

@@ -37,11 +37,24 @@ def main():
     ap.add_argument("--max-epochs", type=int, default=260)
     ap.add_argument("--dp", type=int, default=0,
                     help="data-parallel over N devices (0 = single device)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed and train data-parallel "
+                         "over the GLOBAL mesh (all hosts' devices); each "
+                         "process feeds its own batch rows. No-ops gracefully "
+                         "on a single host. See docs/MULTIHOST.md.")
     args = ap.parse_args()
 
     import jax
     if args.dev == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    pid, n_proc = 0, 1
+    if args.multihost:
+        from frtm_tpu.parallel.distributed import init_distributed
+        pid, n_proc = init_distributed()
+        print(f"multihost: process {pid}/{n_proc}, "
+              f"{len(jax.local_devices())} local / {len(jax.devices())} "
+              "global devices")
 
     from frtm_tpu.config import TrackerConfig, train_aug_params
     from frtm_tpu.models import init_resnet, init_seg_network, resnet_out_channels
@@ -89,7 +102,14 @@ def main():
                                                          size=(120, 160)))
 
     mesh = None
-    if args.dp:
+    if args.multihost and n_proc > 1:
+        # global mesh over every process's devices; --dp is implied (= all)
+        from frtm_tpu.parallel.distributed import global_mesh
+        mesh = global_mesh()
+        if args.batch_size % len(jax.devices()):
+            ap.error(f"--batch-size {args.batch_size} must be divisible by "
+                     f"the {len(jax.devices())} global devices")
+    elif args.dp:
         if args.batch_size % args.dp:
             ap.error(f"--batch-size {args.batch_size} must be divisible by "
                      f"--dp {args.dp}")
