@@ -26,18 +26,27 @@ constant-zero border (cv2 BORDER_CONSTANT semantics, lib/image.py:38-59).
 Numerics match ops/warp.py::warp_affine up to f32 reassociation (the matmul
 sums the y-taps before the x-taps; the XLA path sums x first).
 
-STATUS — measured on v5e (round 4), NOT in the production path: exact
-(<=2e-5 rel vs the XLA warp at (480,854,3) uint8-scale) but ~24 ms per
-3-channel 480x854 bicubic warp (see benchmark numbers in
-scripts/bench_pallas_warp.py's docstring after a run). The arithmetic is
-MXU-shaped but 99.6% of it multiplies zeros: the selection matrix is
-4-sparse per row, so the kernel performs OW*H*W useful-plus-padding MACs
-(~350 M per row-step) to move 4 taps. The production augmenter path remains
-host cv2 (augment_backend='host'): bbox-restricted host warps cost ~3 ms
-per object and overlap nothing (CLAUDE.md round-3 augment settlement), and
-the DeviceAugmenter experiment already showed device-side warping loses
-end-to-end (28.9 vs 167.4 fps) because the uploads it needs dominate. This
-kernel is the measured-rejection record SURVEY §2.1 calls for, alongside
+STATUS — measured on v5e (round 4, scripts/bench_pallas_warp.py), NOT in
+the production path. 3-channel 480x854 bicubic warp, marginal in-program
+cost:
+
+    pallas (this kernel)   37.5 ms   exact to 8e-5 rel vs the gather warp
+    onehot_xla (same math) 38.6 ms   exact to 3e-7 rel
+    XLA gather (ops/warp)  49.5 ms   (the round-2 anti-lesson path)
+    host cv2               7.8 ms    (full-frame, standalone)
+
+The kernel WORKS and beats every device alternative (1.3x over the gather
+lowering), but the formulation's arithmetic is MXU-shaped with 99.6% of it
+multiplying zeros — the selection matrix is 4-sparse per row, so it performs
+OW*H*W useful-plus-padding MACs to move 4 taps — and host cv2 remains 4.8x
+faster still. The production augmenter path therefore remains host cv2
+(augment_backend='host'): bbox-restricted host warps cost ~3 ms per object
+(CLAUDE.md round-3 augment settlement), and the DeviceAugmenter experiment
+already showed device-side warping loses end-to-end (28.9 vs 167.4 fps).
+These numbers also close the hybrid-augmenter idea (upload one background,
+warp K samples on device): K=4 device warps per object cost ~150 ms against
+the ~8 MB/object upload they would replace. This kernel is the
+measured-rejection record SURVEY §2.1 calls for, alongside
 `warp_affine_onehot` — the same formulation expressed in pure XLA (lax.map
 over row chunks) — which gives the no-Pallas baseline of the same idea.
 
@@ -79,43 +88,68 @@ def _tap_table(mode):
     raise ValueError(f"unknown warp mode: {mode}")
 
 
-def _kernel(coef_ref, src_ref, out_ref, *, H, W, OW, mode):
-    y = pl.program_id(1).astype(jnp.float32)
+def _kernel(coef_ref, src_ref, out_ref, *, H, W, OW, mode, rows):
+    """One grid step = `rows` output rows of one channel plane (Mosaic needs
+    the output block's second-to-last dim 8-aligned, so rows=8; the row loop
+    is unrolled in-kernel and Mosaic reuses the Sy/rowmix buffers across
+    iterations — each row's liveness ends before the next begins)."""
     a, b, c0 = coef_ref[0, 0], coef_ref[0, 1], coef_ref[0, 2]
     d, e, f0 = coef_ref[0, 3], coef_ref[0, 4], coef_ref[0, 5]
-
-    x = jax.lax.broadcasted_iota(jnp.float32, (OW, 1), 0)
-    xs = a * x + (b * y + c0)          # source coords, linear along the row
-    ys = d * x + (e * y + f0)
-    if mode == "nearest":
-        xs, ys = jnp.floor(xs + 0.5), jnp.floor(ys + 0.5)
-
     offs, weight_fn = _tap_table(mode)
-    y0 = jnp.floor(ys)
-    iy0 = y0.astype(jnp.int32)                          # (OW, 1)
-    wys = weight_fn(ys - y0)
-    x0 = jnp.floor(xs)
-    ix0 = x0.astype(jnp.int32)
-    wxs = weight_fn(xs - x0)
-
-    # Sy[x, h] = sum_dy wy * [h == iy0 + dy]; OOB rows match nothing -> 0
+    # Mosaic's tpu.iota is integer-only; cast for the coordinate math
+    x = jax.lax.broadcasted_iota(jnp.int32, (OW, 1), 0).astype(jnp.float32)
     h_iota = jax.lax.broadcasted_iota(jnp.int32, (OW, H), 1)
-    sy = None
-    for dy, wy in zip(offs, wys):
-        t = wy * (h_iota == iy0 + dy).astype(jnp.float32)
-        sy = t if sy is None else sy + t
-
-    # MXU: y-resampled source row per output pixel
-    rowmix = jnp.dot(sy, src_ref[0], preferred_element_type=jnp.float32)
-
-    # VPU: 4 x-taps as one-hot mask-multiply-reduce along lanes
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (OW, W), 1)
-    acc = None
-    for dx, wx in zip(offs, wxs):
-        t = jnp.sum(rowmix * (wx * (w_iota == ix0 + dx).astype(jnp.float32)),
-                    axis=1)
-        acc = t if acc is None else acc + t
-    out_ref[0, 0, :] = acc
+
+    y_base = pl.program_id(1) * rows
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, OW), 0)
+
+    def one_row(r, carry):
+        y = (y_base + r).astype(jnp.float32)
+        xs = a * x + (b * y + c0)      # source coords, linear along the row
+        ys = d * x + (e * y + f0)
+        if mode == "nearest":
+            xs, ys = jnp.floor(xs + 0.5), jnp.floor(ys + 0.5)
+
+        y0 = jnp.floor(ys)
+        iy0 = y0.astype(jnp.int32)                      # (OW, 1)
+        wys = weight_fn(ys - y0)
+        x0 = jnp.floor(xs)
+        ix0 = x0.astype(jnp.int32)
+        wxs = weight_fn(xs - x0)
+
+        # Sy[x, h] = sum_dy wy * [h == iy0 + dy]; OOB rows match nothing -> 0
+        sy = None
+        for dy, wy in zip(offs, wys):
+            t = wy * (h_iota == iy0 + dy).astype(jnp.float32)
+            sy = t if sy is None else sy + t
+
+        # MXU: y-resampled source row per output pixel. HIGHEST precision —
+        # the TPU default is one bf16 pass (~4.7e-3 rel error measured at
+        # uint8 scale), unacceptable for a cv2-parity warp; the f32
+        # decomposition costs extra MXU passes and is part of the recorded
+        # cost of this formulation.
+        rowmix = jnp.dot(sy, src_ref[0], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+        # VPU: 4 x-taps as one-hot mask-multiply-reduce along lanes
+        acc = None
+        for dx, wx in zip(offs, wxs):
+            t = jnp.sum(
+                rowmix * (wx * (w_iota == ix0 + dx).astype(jnp.float32)),
+                axis=1)
+            acc = t if acc is None else acc + t
+        # select-insert instead of a dynamic sublane store (r is traced);
+        # the carry is (rows, OW) f32 — tiny next to the loop temps
+        return jnp.where(r_iota == r, acc[None, :], carry)
+
+    # a REAL loop, not a Python unroll: Mosaic allocates the big per-row
+    # temps (sy/rowmix/x-tap masks, ~2.9 MB each at 480x854) once on the
+    # kernel stack and reuses them every iteration — the unrolled form kept
+    # all 8 iterations' temps live and overflowed the 16 MB scoped-vmem
+    # stack by 1.24 MB (measured v5e compile failure, round 4)
+    out_ref[0] = jax.lax.fori_loop(
+        0, rows, one_row, jnp.zeros((rows, OW), jnp.float32))
 
 
 def _affine_coefs(H_mat):
@@ -145,21 +179,23 @@ def warp_affine_pallas(src: jnp.ndarray, H_mat, size,
     dtype = src.dtype
     planes = jnp.transpose(src.astype(jnp.float32), (2, 0, 1))  # (C, H, W)
 
+    rows = 8                       # Mosaic sublane alignment for the output
+    oh_pad = -(-out_h // rows) * rows
     out = pl.pallas_call(
-        partial(_kernel, H=h, W=w, OW=out_w, mode=mode),
-        grid=(c, out_h),
+        partial(_kernel, H=h, W=w, OW=out_w, mode=mode, rows=rows),
+        grid=(c, oh_pad // rows),
         in_specs=[
             pl.BlockSpec((1, 6), lambda ci, yi: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, w), lambda ci, yi: (ci, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, out_w), lambda ci, yi: (ci, yi, 0),
+        out_specs=pl.BlockSpec((1, rows, out_w), lambda ci, yi: (ci, yi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, out_h, out_w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, oh_pad, out_w), jnp.float32),
         interpret=interpret,
     )(_affine_coefs(H_mat), planes)
-    return jnp.transpose(out, (1, 2, 0)).astype(dtype)
+    return jnp.transpose(out[:, :out_h], (1, 2, 0)).astype(dtype)
 
 
 def warp_affine_onehot(src: jnp.ndarray, H_mat, size, mode: str = "bicubic",
@@ -193,7 +229,8 @@ def warp_affine_onehot(src: jnp.ndarray, H_mat, size, mode: str = "bicubic",
 
         h_iota = jnp.arange(h, dtype=jnp.int32)[None, None, :]
         sy = sum(wy * (h_iota == iy0 + dy) for dy, wy in zip(offs, wys))
-        rowmix = jnp.einsum("rxh,hwc->rxwc", sy, srcf)            # MXU
+        rowmix = jnp.einsum("rxh,hwc->rxwc", sy, srcf,            # MXU
+                            precision=jax.lax.Precision.HIGHEST)
         w_iota = jnp.arange(w, dtype=jnp.int32)[None, None, :]
         acc = sum(jnp.einsum(
             "rxw,rxwc->rxc",

@@ -75,14 +75,21 @@ def main():
         "gather": lambda x: warp_affine(x, H_MAT, SIZE, "bicubic"),
     }
 
-    # exactness first (vs the gather warp, itself cv2-pinned in test_ops)
+    # exactness first (vs the gather warp, itself cv2-pinned in test_ops);
+    # a failing formulation is reported and skipped, not fatal — the other
+    # formulations' numbers are the point of this record
     want = np.asarray(jax.jit(fns["gather"])(src))
     scale = np.abs(want).max()
     for name in ("pallas", "onehot_xla"):
-        got = np.asarray(jax.jit(fns[name])(src))
-        rel = np.abs(got - want).max() / scale
-        print(f"{name}: max rel diff vs gather = {rel:.2e}", flush=True)
-        assert rel < 1e-4, (name, rel)
+        try:
+            got = np.asarray(jax.jit(fns[name])(src))
+            rel = np.abs(got - want).max() / scale
+            print(f"{name}: max rel diff vs gather = {rel:.2e}", flush=True)
+            assert rel < 1e-4, (name, rel)
+        except Exception as e:
+            print(f"{name}: EXACTNESS RUN FAILED "
+                  f"({type(e).__name__}: {str(e)[:300]})", flush=True)
+            fns.pop(name)
 
     for name, fn in fns.items():
         try:
