@@ -237,15 +237,18 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         Returns a dict consumable by `_prepare(..., preloaded=...)`."""
         images_np = np.stack([sequence[t][0] for t in range(len(sequence))])
         return dict(images=images_np,
+                    frame0_dev=jax.device_put(images_np[0]),
                     chunks=self._upload_chunks(images_np[1:]))
 
     def _prepare(self, sequence, preloaded=None):
         """Host-side per-sequence prep: frames, objects, init solves."""
         if preloaded is None:
             images_np = np.stack([sequence[t][0] for t in range(len(sequence))])
+            frame0_dev = jax.device_put(images_np[0])
             chunks = None
         else:
             images_np = preloaded["images"]
+            frame0_dev = preloaded["frame0_dev"]
             chunks = preloaded["chunks"]
         T = images_np.shape[0]
         im_size = tuple(images_np.shape[1:3])
@@ -254,15 +257,17 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         # augment only — the GN-CG init solves are deferred to _run_group,
         # which batches every object in the shape group into ONE extract +
         # ONE vmapped solve program (instead of 2 dispatches per object
-        # inside the timed region). copy=True: the augmenter reuses its
-        # output buffers and the batch is consumed after later _prepare calls.
+        # inside the timed region). Each object's batch is packed + its
+        # async upload started right here (slot-0 elision + bit-packed
+        # masks, _pack_aug_batch), so the transfer streams while later
+        # objects/sequences augment; copy=False is safe because the batch
+        # is committed before the augmenter's next call reuses its buffers.
         aug = []
         for obj_id, start_idx, mask, image in objects:
             rng = np.random.RandomState(0)
             im_aug, lb_aug = self.augmenter.augment_first_frame(
-                image, mask[..., None], rng, copy=True)
-            aug.append((np.asarray(im_aug, np.uint8),
-                        np.asarray(lb_aug, np.uint8)))
+                image, mask[..., None], rng, copy=False)
+            aug.append(self._pack_aug_batch(im_aug, lb_aug))
 
         n_track = T - 1
         bucket_T = -(-n_track // self.length_bucket) * self.length_bucket
@@ -270,8 +275,8 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         # differing object counts share groups and scan programs
         n_pad = 1 << (len(objects) - 1).bit_length()
         group_key = (im_size, bucket_T, n_pad)
-        return dict(images=images_np, chunks=chunks, objects=objects,
-                    aug=aug, n_track=n_track,
+        return dict(images=images_np, frame0_dev=frame0_dev, chunks=chunks,
+                    objects=objects, aug=aug, n_track=n_track,
                     bucket_T=bucket_T, n_pad=n_pad, im_size=im_size,
                     group_key=group_key)
 
@@ -292,14 +297,26 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         Bp = -(-B // self.n_devices) * self.n_devices  # pad to mesh multiple
 
         # ONE batched extract + vmapped GN-CG over every object in the group
-        # (the solves were deferred by _prepare): a B=4 single-object group
-        # costs one dispatch pair instead of eight inside the fps window
+        # (the solves were deferred by _prepare, which already started the
+        # packed uploads): a B=4 single-object group costs one dispatch pair
+        # instead of eight inside the fps window. Start frames come from the
+        # device-resident preload (slot-0 elision, _pack_aug_batch), and the
+        # scan's start_masks come back from the device (sm_all).
         with timer.phase("group_init"):
+            f0 = []
+            for _, prep in seq_preps:
+                for obj_id, start_idx, mask, image in prep["objects"]:
+                    d = prep["frame0_dev"] if start_idx == 0 else \
+                        self._frame_dev(start_idx, prep["images"],
+                                        prep["chunks"])
+                    if d is None:  # no preload: upload the start frame now
+                        d = jnp.asarray(prep["images"][start_idx])
+                    f0.append(d)
             pairs = [p for _, prep in seq_preps for p in prep["aug"]]
-            ims = jnp.asarray(np.stack([a for a, _ in pairs]))
-            lbs = jnp.asarray(np.stack([b for _, b in pairs]))
-            params_all, states_all = self._init_objects(
-                self.backbone, self._disc_params0, ims, lbs)
+            params_all, states_all, sm_all = self._init_objects(
+                self.backbone, self._disc_params0, jnp.stack(f0),
+                jnp.stack([a for a, _ in pairs]),
+                jnp.stack([b for _, b in pairs]))
         obj_ofs = np.cumsum([0] + [len(prep["objects"])
                                    for _, prep in seq_preps])
 
@@ -349,8 +366,13 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
                 disc_states = jax.tree.map(rep, disc_states)
             sf = np.full(n_obj, bucket_T + 2, np.int32)
             sf[:n_real] = [o[1] for o in prep["objects"]]
-            sm = np.zeros((n_obj, H, W), np.float32)
-            sm[:n_real] = np.stack([o[2] for o in prep["objects"]])
+            # start masks: the device-derived slot-0 masks (sm_all) — padded
+            # object rows are zeros, as before (they are never active, their
+            # start frame is past the bucket end)
+            sm = sm_all[o0:o1]
+            if opad:
+                sm = jnp.concatenate(
+                    [sm, jnp.zeros((opad, H, W), sm.dtype)])
             lut = np.zeros(n_obj + 1, np.int32)
             lut[1:n_real + 1] = [o[0] for o in prep["objects"]]
 
@@ -384,7 +406,7 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
             outs, _, _ = self._get_vscan(im_size, windowed)(
                 self.refiner, feats_bufs, stack(dp_b),
                 stack(ds_b), jnp.asarray(np.stack(sf_b)),
-                jnp.asarray(np.stack(sm_b)), jnp.asarray(np.stack(lut_b)))
+                jnp.stack(sm_b), jnp.asarray(np.stack(lut_b)))
         if as_device:
             assert self.merge_mode == "online"
             return outs

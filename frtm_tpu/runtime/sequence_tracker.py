@@ -201,8 +201,7 @@ class BatchedSequenceTracker:
             """One target model per disc layer: {L: params}, {L: states}."""
             return ml_disc_init(p0, fts, lb, self._scan_disc_cfgs)
 
-        @jax.jit
-        def _init_objects(bb, p0, images, labels):
+        def _init_objects_from_dense(bb, p0, images, labels):
             """Batched multi-object init: ONE backbone pass over all objects'
             augmented frames + ONE vmapped GN-CG program, replacing N serial
             (extract, solve) dispatch pairs. v5e 2-object measurement: the
@@ -226,9 +225,43 @@ class BatchedSequenceTracker:
                 lambda f, l: ml_disc_init(p0, f, l, self._scan_disc_cfgs)
             )(ft, labels)
 
+        @jax.jit
+        def _init_objects(bb, p0, f0, ims_rest, lbs_packed):
+            """Multi-object init from TRANSFER-MINIMISED inputs. The host
+            augment batch costs ~9.8 MB/object to upload naively (5 frames +
+            5 full-res masks + a float32 start mask) and that upload gates
+            the init solve INSIDE the fps clock over a 13-50 MB/s tunnel —
+            measured round 4 (scripts/probe_2obj_wall.py): the 2-object pass
+            spent 0.9-1.2 s of its ~1.0 s wall streaming 15.6 MB while the
+            device sat idle. This program reconstructs the dense batch from
+            ~5.2 MB/object instead:
+
+            :param f0: (N, H, W, 3) uint8 start frames — slot 0 of each
+                augment batch IS the real frame (augmenter.py:352-353,
+                reference model/augmenter.py:473-555), already device-resident
+                from the pre-clock preload, so it is never re-uploaded
+            :param ims_rest: (N, K-1, H, W, 3) uint8 augmented slots 1..K
+            :param lbs_packed: (N, K, H, ceil(W/8)) uint8 np.packbits masks
+                (binary, so 8x smaller; unpack is a VPU shift-and-mask)
+            :return: ({L: params}, {L: states}, (N, H, W) float32 slot-0
+                masks — the scan's start_masks, derived on device instead of
+                uploading another 1.6 MB float32 per object)
+            """
+            W = f0.shape[2]
+            images = jnp.concatenate([f0[:, None], ims_rest], axis=1)
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # MSB-first
+            bits = (lbs_packed[..., None] >> shifts) & jnp.uint8(1)
+            labels = bits.reshape(*lbs_packed.shape[:-1], -1)[..., :W, None]
+            params, states = _init_objects_from_dense(bb, p0, images, labels)
+            return params, states, labels[:, 0, :, :, 0].astype(jnp.float32)
+
         self._extract_disc_layer = _extract_disc_layer
         self._init_disc = _init_disc
         self._init_objects = _init_objects
+        # dense-signature variant for callers whose batches are already
+        # device-resident (the device augmenter produces device arrays, so
+        # there is no transfer to minimise)
+        self._init_objects_dense = jax.jit(_init_objects_from_dense)
         # (input donation was tried for the pyramid: XLA cannot alias it into
         # the label outputs, so it only produced warnings — buffers free after
         # last use regardless)
@@ -636,23 +669,50 @@ class BatchedSequenceTracker:
             outs.append({L: v[:C - pad] if pad else v for L, v in f.items()})
         return {L: jnp.concatenate([o[L] for o in outs]) for L in outs[0]}
 
+    def _pack_aug_batch(self, im_aug, lb_aug):
+        """Transfer-minimised async upload of ONE object's augment batch:
+        the slot-0 image is elided (it IS the real frame, device-resident
+        from the pre-clock preload — _init_objects reattaches it) and the
+        binary masks are bit-packed 8x with np.packbits (device unpack is a
+        VPU shift-and-mask inside _init_objects). Cuts the in-clock upload
+        from ~9.8 to ~5.2 MB/object on the 13-50 MB/s tunnel (measured
+        round 4, scripts/probe_2obj_wall.py). Returns
+        (ims_rest (K-1,H,W,3) u8 dev, lbs_packed (K,H,ceil(W/8)) u8 dev).
+
+        Safe with the augmenter's reused output buffers (copy=False):
+        device_put commits the host copy before returning (the pipelined
+        prepare_sequence has relied on the same fact since round 3), and
+        packbits allocates fresh bytes."""
+        ims = np.asarray(im_aug, np.uint8)
+        lbs = np.asarray(lb_aug, np.uint8)
+        packed = np.packbits(lbs[..., 0], axis=-1)
+        return jnp.asarray(ims[1:]), jnp.asarray(packed)
+
     def _augment_objects(self, objects, timer):
-        """First-frame augmentation batches for every object, in object
-        order. All batches are collected BEFORE any is consumed, so every
-        object except the last needs its own copy of the augmenter's reused
-        output buffers (copy=False for the final object skips one multi-MB
-        host copy). (The pipelined prefetch path doesn't use this: it
-        uploads each batch right after augmenting instead —
-        prepare_sequence.)"""
+        """First-frame augmentation for every object, in object order; each
+        batch is packed + its async device upload STARTED right after it is
+        augmented, so object k's multi-MB transfer streams over the tunnel
+        while object k+1's cv2 augment runs on the host (on multi-object
+        sequences the exposed upload time shrinks by one augment per extra
+        object; measured caveat: in-flight streams do slow the 1-core host's
+        cv2 work somewhat — the round-4 preload-drain experiment measured
+        the extreme of that effect — but a ~5 MB aug stream is an order of
+        magnitude smaller than the preload that motivated the drain).
+        Upload-after-each-augment also means the augmenter's reused buffers
+        never need copying (copy=False throughout).
+
+        Returns [(ims_rest_dev, lbs_packed_dev)] per object — the
+        _pack_aug_batch format that _init_objects consumes."""
         from ..utils.profiling import PhaseTimer
         timer = timer or PhaseTimer(sync=False)
         batches = []
         for k, (obj_id, start_idx, mask, image) in enumerate(objects):
             rng = np.random.RandomState(0)
             with timer.phase("augment"):
-                batches.append(self.augmenter.augment_first_frame(
-                    image, mask[..., None], rng,
-                    copy=(k != len(objects) - 1)))
+                im_aug, lb_aug = self.augmenter.augment_first_frame(
+                    image, mask[..., None], rng, copy=False)
+            with timer.phase("aug_upload"):
+                batches.append(self._pack_aug_batch(im_aug, lb_aug))
         return batches
 
     def _collect_objects(self, sequence):
@@ -690,10 +750,10 @@ class BatchedSequenceTracker:
                 rng = np.random.RandomState(0)
                 im_aug, lb_aug = self.augmenter.augment_first_frame(
                     image, mask[..., None], rng, copy=False)
-                # device_put commits the copy before returning, so the
-                # augmenter may reuse its buffers on the next iteration
-                aug.append((jnp.asarray(np.asarray(im_aug, np.uint8)),
-                            jnp.asarray(np.asarray(lb_aug, np.uint8))))
+                # packed upload right after each augment (device_put commits
+                # the copy before returning, so the augmenter may reuse its
+                # buffers on the next iteration)
+                aug.append(self._pack_aug_batch(im_aug, lb_aug))
         return {"images_np": images_np, "frame0_dev": frame0_dev,
                 "chunks": chunks, "aug_batches": aug}
 
@@ -812,46 +872,40 @@ class BatchedSequenceTracker:
         with timer.phase("extract"):
             feats_all = self._extract_sequence(images_np[1:], chunks=chunks)
 
-        # object init (GN-CG on device); the device augmenter consumes
-        # the pre-uploaded frame and returns device arrays — no
-        # augmented-batch upload inside the timed region
-        init_inputs = []
-        for k, (obj_id, start_idx, mask, image) in enumerate(objects):
-            if self.augment_backend == "device":
+        # object init (GN-CG on device), from transfer-minimised inputs:
+        # ONE batched program for any object count, consuming the packed
+        # per-object uploads (already streaming since _augment_objects) plus
+        # the device-resident start frames — the start masks come back from
+        # the device instead of costing another float32 upload each
+        if self.augment_backend == "device":
+            # device augmenter consumes the pre-uploaded frame and returns
+            # device arrays — nothing to pack, use the dense program
+            init_inputs = []
+            for k, (obj_id, start_idx, mask, image) in enumerate(objects):
                 rng = np.random.RandomState(0)
                 with timer.phase("augment"):
-                    im_aug, lb_aug = self.augmenter.augment_first_frame(
+                    init_inputs.append(self.augmenter.augment_first_frame(
                         image, mask[..., None], rng,
-                        image_dev=self._frame_dev(start_idx, images_np, chunks))
-            else:
-                im_aug, lb_aug = aug_batches[k]
+                        image_dev=self._frame_dev(start_idx, images_np,
+                                                  chunks)))
             with timer.phase("disc_init"):
-                if isinstance(im_aug, jnp.ndarray):
-                    ft_in, lb_in = im_aug, lb_aug
-                else:
-                    # np.asarray with a dtype is a no-op view for the
-                    # augmenter's uint8 buffers — .astype would memcpy
-                    # ~25 MB per object inside the fps clock
-                    ft_in = jnp.asarray(np.asarray(im_aug, np.uint8))
-                    lb_in = jnp.asarray(np.asarray(lb_aug, np.uint8))
-                init_inputs.append((ft_in, lb_in))
-
-        with timer.phase("disc_init"):
-            if len(init_inputs) > 1:
-                # multi-object: one batched extract + one vmapped solve
-                # (_init_objects docstring) instead of N dispatch pairs
                 ims = jnp.stack([a for a, _ in init_inputs])
                 lbs = jnp.stack([b for _, b in init_inputs])
-                disc_params, disc_states = self._init_objects(
+                disc_params, disc_states = self._init_objects_dense(
                     self.backbone, self._disc_params0, ims, lbs)
-            else:
-                ft_in, lb_in = init_inputs[0]
-                ft = self._extract_disc_layer(self.backbone, ft_in)
-                p, s = self._init_disc(self._disc_params0, ft, lb_in)
-                disc_params = jax.tree.map(lambda x: x[None], p)
-                disc_states = jax.tree.map(lambda x: x[None], s)
+                start_masks = jnp.asarray(np.stack([o[2] for o in objects]))
+        else:
+            with timer.phase("disc_init"):
+                f0 = [self._frame_dev(o[1], images_np, chunks)
+                      for o in objects]
+                f0 = jnp.stack([  # no preload (warm-up path): upload now
+                    jnp.asarray(images_np[o[1]]) if d is None else d
+                    for d, o in zip(f0, objects)])
+                disc_params, disc_states, start_masks = self._init_objects(
+                    self.backbone, self._disc_params0, f0,
+                    jnp.stack([a for a, _ in aug_batches]),
+                    jnp.stack([b for _, b in aug_batches]))
         start_frames = jnp.asarray([o[1] for o in objects], jnp.int32)
-        start_masks = jnp.asarray(np.stack([o[2] for o in objects]))
         obj_ids = [o[0] for o in objects]
         # bucket the scan length so different sequence lengths share programs
         n_track = T - 1

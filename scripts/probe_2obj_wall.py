@@ -63,13 +63,30 @@ def main():
     print(f"backend: {jax.default_backend()}  n_objects={n_obj}", flush=True)
     tr.run_sequence(seq, speedrun=True)          # compile everything
 
+    # copy=False safety check on THIS backend: _pack_aug_batch promises the
+    # host buffer is committed before device_put returns, so the augmenter
+    # may overwrite its reused buffers while the transfer streams. Compare
+    # the interleaved production path against owned copies.
+    objs = tr._collect_objects(seq)
+    fast = tr._augment_objects(objs, None)       # copy=False + async uploads
+    for k, (obj_id, start_idx, mask, image) in enumerate(objs):
+        rng = np.random.RandomState(0)
+        im_aug, lb_aug = tr.augmenter.augment_first_frame(
+            image, mask[..., None], rng, copy=True)
+        safe_im, safe_lb = tr._pack_aug_batch(im_aug, lb_aug)
+        assert np.array_equal(np.asarray(fast[k][0]), np.asarray(safe_im)), \
+            f"object {k}: interleaved upload corrupted (images)"
+        assert np.array_equal(np.asarray(fast[k][1]), np.asarray(safe_lb)), \
+            f"object {k}: interleaved upload corrupted (labels)"
+    print("copy=False interleaved uploads verified bit-identical", flush=True)
+
     # --- the real (pipelined) pass, for the baseline wall ------------------
     for i in range(3):
         _, fps = tr.run_sequence(seq)
         print(f"real pass {i}: {fps:.1f} fps  "
               f"wall {n_frames / fps * 1000:.0f} ms", flush=True)
         print("  " + "; ".join(
-            f"{k}: {v['ms_per_call']:.1f} ms/call x{v['calls']}"
+            f"{k}: {v['ms_per_call']:.1f} ms/call x{v['count']}"
             for k, v in tr.last_phase_stats.items()), flush=True)
 
     # --- fenced stage decomposition ----------------------------------------
@@ -81,14 +98,17 @@ def main():
 
     for trial in range(3):
         t0 = time.perf_counter()
-        batches = tr._augment_objects(objects, None)
+        batches = []
+        for obj_id, start_idx, mask, image in objects:
+            rng = np.random.RandomState(0)
+            batches.append(tr.augmenter.augment_first_frame(
+                image, mask[..., None], rng, copy=True))
         t_aug = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        ims = jnp.asarray(np.stack([np.asarray(a, np.uint8)
-                                    for a, _ in batches]))
-        lbs = jnp.asarray(np.stack([np.asarray(b, np.uint8)
-                                    for _, b in batches]))
+        packed = [tr._pack_aug_batch(a, b) for a, b in batches]
+        ims = jnp.stack([a for a, _ in packed])
+        lbs = jnp.stack([b for _, b in packed])
         tr._drain_uploads([ims, lbs])
         t_up = time.perf_counter() - t0
         mb = (ims.size + lbs.size) / 2**20
@@ -98,7 +118,10 @@ def main():
         t_ext = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        dp, ds = tr._init_objects(tr.backbone, tr._disc_params0, ims, lbs)
+        f0 = jnp.stack([tr._frame_dev(o[1], images_np, chunks)
+                        for o in objects])
+        dp, ds, sm_dev = tr._init_objects(tr.backbone, tr._disc_params0,
+                                          f0, ims, lbs)
         fence((dp, ds))
         t_init = time.perf_counter() - t0
 
@@ -109,7 +132,7 @@ def main():
                 [v, jnp.repeat(v[-1:], pad, axis=0)])
                 for L, v in feats_all.items()}
         sf = jnp.asarray([o[1] for o in objects], jnp.int32)
-        sm = jnp.asarray(np.stack([o[2] for o in objects]))
+        sm = sm_dev                      # device-derived slot-0 masks
         lut = jnp.asarray([0] + [o[0] for o in objects], jnp.int32)
         t0 = time.perf_counter()
         outs, _, _ = tr._window_track(tr.refiner, feats_all, dp, ds, sf, sm,
