@@ -62,19 +62,27 @@ REST_CLEAN_RATIO = 1.30  # non-augment wall vs session-best (device is stable)
 MIN_CLEAN = 4          # fewer clean passes than this -> contended window
 
 
-def _classify(recs):
+def _classify(recs, aug_clean_ms=AUG_CLEAN_MS):
     """Split pass records into (clean, contended) under the session-best
     non-augment floor. Each rec: {fps, wall_ms, aug_call_ms, rest_ms}.
     The floor comes from augment-clean passes only: a host-contended pass
     reports unreliable phase walls (the 1-core host's clock attribution
-    shifts under load) and must not set the device-time baseline."""
-    aug_ok = [r for r in recs if r["aug_call_ms"] <= AUG_CLEAN_MS]
+    shifts under load) and must not set the device-time baseline.
+
+    aug_clean_ms: the augment-wall contention threshold. Only meaningful
+    for SINGLE-object passes — on multi-object/batched passes the previous
+    object's packed upload streams through the tunnel DURING the next
+    augment by design (sequence_tracker._augment_objects), so an inflated
+    augment wall there is workload overlap, not host contention; such
+    callers pass math.inf and rely on the rest-floor criterion alone."""
+    aug_ok = [r for r in recs if r["aug_call_ms"] <= aug_clean_ms]
     floor = min(r["rest_ms"] for r in (aug_ok or recs))
     clean = [r for r in aug_ok if r["rest_ms"] <= REST_CLEAN_RATIO * floor]
     return clean, [r for r in recs if r not in clean]
 
 
-def measure_passes(run_pass, n_clean, max_attempts, label):
+def measure_passes(run_pass, n_clean, max_attempts, label,
+                   aug_clean_ms=AUG_CLEAN_MS):
     """Run passes until n_clean clean ones accumulate (or attempts run out).
     run_pass() -> (fps, wall_ms, aug_total_ms, aug_call_ms, extra_dict)."""
     recs = []
@@ -83,14 +91,14 @@ def measure_passes(run_pass, n_clean, max_attempts, label):
         recs.append({"fps": fps, "wall_ms": wall_ms,
                      "aug_call_ms": aug_call_ms,
                      "rest_ms": wall_ms - aug_total_ms, "extra": extra})
-        clean, _ = _classify(recs)
+        clean, _ = _classify(recs, aug_clean_ms)
         tag = "clean" if recs[-1] in clean else "contended"
         print(f"{label} pass {i}: {fps:.1f} fps [{tag}] "
               f"(aug {aug_call_ms:.0f} ms/obj, rest {recs[-1]['rest_ms']:.0f} ms)",
               file=sys.stderr)
         if len(clean) >= n_clean:
             break
-    clean, noisy = _classify(recs)
+    clean, noisy = _classify(recs, aug_clean_ms)
     all_fps = [r["fps"] for r in recs]
     if len(clean) >= MIN_CLEAN:
         picked = [r["fps"] for r in clean]
@@ -201,7 +209,8 @@ def main():
                                        square=100, n_objects=2, seed=0)
     tracker.run_sequence(seq2, speedrun=True)
     two = measure_passes(_seq_pass_fn(tracker, seq2, n_frames),
-                         n_clean=5, max_attempts=12, label="2-obj")
+                         n_clean=5, max_attempts=12, label="2-obj",
+                         aug_clean_ms=math.inf)
 
     # single-chip multi-sequence batching: B independent sequences stacked on
     # the vmapped sequence axis of ONE scan program (a 1-device mesh —
@@ -304,8 +313,10 @@ def _bench_batched(cfg, backbone, refiner, n_frames, batch_sizes=(2, 4)):
                     _phase(ph, "augment", "ms_per_call"), extra)
 
         one_pass()                       # warm-up: compiles + caches programs
-        m = measure_passes(one_pass, n_clean=3, max_attempts=8,
-                           label=f"batched B={B}")
+        # n_clean must be >= MIN_CLEAN or the section can never report
+        # contended=false (it stops collecting before the judge's quorum)
+        m = measure_passes(one_pass, n_clean=MIN_CLEAN, max_attempts=8,
+                           label=f"batched B={B}", aug_clean_ms=math.inf)
         out[f"fps_batched_b{B}"] = m["value"]
         out[f"fps_batched_b{B}_contended"] = m["contended"]
         # where the wall went, for the pass closest to the reported value

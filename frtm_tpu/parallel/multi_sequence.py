@@ -296,6 +296,42 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         B = len(seq_preps)
         Bp = -(-B // self.n_devices) * self.n_devices  # pad to mesh multiple
 
+        # DISPATCH ORDER IS THE OPTIMISATION HERE: the TPU executes programs
+        # in enqueue order, so the extracts (whose frame chunks are
+        # device-resident from the pre-clock preload) are enqueued FIRST and
+        # execute while the init program's augmented-batch uploads are still
+        # streaming over the tunnel; the init solve is enqueued after.
+        # Enqueueing init first (the round-3 order) stalled the whole stream
+        # behind its uploads — measured as a 590-800 ms "feats" dispatch wall
+        # on B=2 groups (bench.py b2_wall_ms) with the device idle.
+        feats_bufs = None  # {L: (Bp, bucket_T, h, w, c)} built in place
+        H, W = im_size
+        t_f0, c_f0 = time.perf_counter(), time.thread_time()
+        for i in range(B):
+            sequence, prep = seq_preps[i]
+            feats_all = self._extract_sequence(prep["images"][1:],
+                                               chunks=prep.get("chunks"))
+            pad = bucket_T - prep["n_track"]
+            if pad:
+                feats_all = {L: jnp.concatenate(
+                    [v, jnp.repeat(v[-1:], pad, axis=0)])
+                    for L, v in feats_all.items()}
+            if feats_bufs is None:
+                zeros = jax.jit(
+                    lambda sd: {L: jnp.zeros((Bp, bucket_T) + tuple(s), d)
+                                for L, (s, d) in sd},
+                    static_argnums=0, out_shardings=self._seq_sh)
+                feats_bufs = zeros(tuple(
+                    (L, (tuple(v.shape[1:]), v.dtype))
+                    for L, v in sorted(feats_all.items())))
+                feats_bufs = dict(feats_bufs)
+            row = jnp.asarray(i, jnp.int32)
+            for L, v in feats_all.items():
+                feats_bufs[L] = self._insert_row(feats_bufs[L], v, row)
+            del feats_all  # only the (Bp, T) buffers stay resident
+        timer.add("group_feats", time.perf_counter() - t_f0,
+                  time.thread_time() - c_f0)
+
         # ONE batched extract + vmapped GN-CG over every object in the group
         # (the solves were deferred by _prepare, which already started the
         # packed uploads): a B=4 single-object group costs one dispatch pair
@@ -320,35 +356,12 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         obj_ofs = np.cumsum([0] + [len(prep["objects"])
                                    for _, prep in seq_preps])
 
-        feats_bufs = None  # {L: (Bp, bucket_T, h, w, c)} built in place
         dp_b, ds_b, sf_b, sm_b, lut_b = [], [], [], [], []
-        H, W = im_size
-        t_f0, c_f0 = time.perf_counter(), time.thread_time()
         for i in range(B):
             sequence, prep = seq_preps[i]
-            feats_all = self._extract_sequence(prep["images"][1:],
-                                               chunks=prep.get("chunks"))
             o0, o1 = int(obj_ofs[i]), int(obj_ofs[i + 1])
             disc_params = jax.tree.map(lambda x: x[o0:o1], params_all)
             disc_states = jax.tree.map(lambda x: x[o0:o1], states_all)
-            pad = bucket_T - prep["n_track"]
-            if pad:
-                feats_all = {L: jnp.concatenate(
-                    [v, jnp.repeat(v[-1:], pad, axis=0)])
-                    for L, v in feats_all.items()}
-            if feats_bufs is None:
-                zeros = jax.jit(
-                    lambda sd: {L: jnp.zeros((Bp, bucket_T) + tuple(s), d)
-                                for L, (s, d) in sd},
-                    static_argnums=0, out_shardings=self._seq_sh)
-                feats_bufs = zeros(tuple(
-                    (L, (tuple(v.shape[1:]), v.dtype))
-                    for L, v in sorted(feats_all.items())))
-                feats_bufs = dict(feats_bufs)
-            row = jnp.asarray(i, jnp.int32)
-            for L, v in feats_all.items():
-                feats_bufs[L] = self._insert_row(feats_bufs[L], v, row)
-            del feats_all  # only the (Bp, T) buffers stay resident
 
             # pad the object axis to the group width: padded objects have a
             # start frame beyond the sequence (never active), empty start
@@ -399,8 +412,6 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
             not self.disc_cfg.update_filters
             or all(o[1] % w_win == 0 for o in prep["objects"])
             for _, prep in seq_preps)
-        timer.add("group_feats", time.perf_counter() - t_f0,
-                  time.thread_time() - c_f0)
         with timer.phase("group_scan"):
             stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
             outs, _, _ = self._get_vscan(im_size, windowed)(

@@ -76,3 +76,21 @@ def test_all_identical_passes_floor_is_self():
                              max_attempts=4, label="t")
     assert not m["contended"]
     assert m["value"] == 150.0
+
+
+def test_multiobject_streaming_augment_not_flagged_with_inf_threshold():
+    # multi-object/batched passes stream the previous object's packed upload
+    # DURING the next augment by design (sequence_tracker._augment_objects),
+    # so their inflated augment wall is workload, not contention: with
+    # aug_clean_ms=inf only the rest-floor criterion applies
+    import math
+    entries = [(110, 170), (108, 180), (111, 160), (109, 175)]
+    m = bench.measure_passes(_mk_pass_stream(entries), n_clean=4,
+                             max_attempts=4, label="t",
+                             aug_clean_ms=math.inf)
+    assert not m["contended"]
+    assert m["n_clean"] == 4
+    # the same stream under the single-object threshold is all-contended
+    m2 = bench.measure_passes(_mk_pass_stream(entries), n_clean=4,
+                              max_attempts=4, label="t")
+    assert m2["contended"]
