@@ -71,6 +71,15 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
             lambda buf, x, i: jax.lax.dynamic_update_slice(
                 buf, x[None].astype(buf.dtype), (i,) + (0,) * x.ndim),
             donate_argnums=0)
+        # all levels of one sequence in ONE donated dispatch (each dispatch
+        # is a tunnel round trip, 10-40 ms when the link is busy)
+        self._insert_rows = jax.jit(
+            lambda bufs, feats, i: {
+                L: jax.lax.dynamic_update_slice(
+                    bufs[L], feats[L][None].astype(bufs[L].dtype),
+                    (i,) + (0,) * feats[L].ndim)
+                for L in bufs},
+            donate_argnums=0)
         self._copy_row = jax.jit(
             lambda buf, src, dst: jax.lax.dynamic_update_slice(
                 buf, jax.lax.dynamic_slice_in_dim(buf, src, 1, 0),
@@ -309,13 +318,15 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         t_f0, c_f0 = time.perf_counter(), time.thread_time()
         for i in range(B):
             sequence, prep = seq_preps[i]
-            feats_all = self._extract_sequence(prep["images"][1:],
-                                               chunks=prep.get("chunks"))
-            pad = bucket_T - prep["n_track"]
-            if pad:
-                feats_all = {L: jnp.concatenate(
-                    [v, jnp.repeat(v[-1:], pad, axis=0)])
-                    for L, v in feats_all.items()}
+            chunks = prep.get("chunks")
+            if chunks is None:
+                chunks = self._upload_chunks(prep["images"][1:])
+            # ONE fused extract+concat+bucket-pad program (repeat-last pad
+            # via a clamped gather, bit-identical) + ONE all-level donated
+            # insert: 2 round trips per sequence instead of ~20
+            feats_all = self._extract_padded(
+                self.backbone, tuple(c for c, _ in chunks),
+                jnp.asarray(prep["n_track"], jnp.int32), bucket_T)
             if feats_bufs is None:
                 zeros = jax.jit(
                     lambda sd: {L: jnp.zeros((Bp, bucket_T) + tuple(s), d)
@@ -325,9 +336,8 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
                     (L, (tuple(v.shape[1:]), v.dtype))
                     for L, v in sorted(feats_all.items())))
                 feats_bufs = dict(feats_bufs)
-            row = jnp.asarray(i, jnp.int32)
-            for L, v in feats_all.items():
-                feats_bufs[L] = self._insert_row(feats_bufs[L], v, row)
+            feats_bufs = self._insert_rows(feats_bufs, feats_all,
+                                           jnp.asarray(i, jnp.int32))
             del feats_all  # only the (Bp, T) buffers stay resident
         timer.add("group_feats", time.perf_counter() - t_f0,
                   time.thread_time() - c_f0)

@@ -28,6 +28,7 @@ Two merge modes:
     reproduces the published 72% YTVOS configuration).
 """
 import time
+from functools import partial
 
 import numpy as np
 import jax
@@ -189,6 +190,25 @@ class BatchedSequenceTracker:
             # bf16 and the solver's einsum upcasts layer4 itself
             return extract_features(bb, images, self.arch, output_layers=cfgl,
                                     dtype=self.dtype, out_dtype=self.dtype)
+
+        @partial(jax.jit, static_argnames=("bucket",))
+        def _extract_padded(bb, chunks, n_track, bucket):
+            """Whole-sequence extraction as ONE program: per-chunk backbone
+            pyramids, concat, trim-and-bucket-pad — the pad is a gather with
+            a clamped index, which reproduces the repeat-last-frame padding
+            bit-identically (rows >= n_track read frame n_track-1) while
+            never touching the zero pad frames of the final chunk. Replaces
+            n_chunks extract + n_levels concat + pad dispatches with ONE
+            dispatch: each dispatch is a tunnel round trip here, measured
+            1 ms quiet but 10-40 ms when the link is busy — at ~14 round
+            trips per tracked pass that was the dominant variable of
+            contended-window fps (round 4)."""
+            outs = [_extract(bb, c) for c in chunks]
+            idx = jnp.minimum(jnp.arange(bucket), n_track - 1)
+            return {L: jnp.concatenate([o[L] for o in outs])[idx]
+                    for L in outs[0]}
+
+        self._extract_padded = _extract_padded
 
         @jax.jit
         def _extract_disc_layer(bb, images):
@@ -868,9 +888,23 @@ class BatchedSequenceTracker:
                 if self.augment_backend != "device" else []
 
         # whole-sequence extraction dispatch is async: the device chews the
-        # backbone pyramid (~1.2 ms/frame) while the host stacks init inputs
+        # backbone pyramid (~1.2 ms/frame) while the host stacks init inputs.
+        # With a preload, extract + per-level concat + bucket-pad are ONE
+        # fused dispatch (_extract_padded) — each dispatch is a tunnel round
+        # trip, 10-40 ms in contended windows; the mesh path keeps the
+        # chunked program (its sharding constraints live in _extract).
+        n_track = T - 1
+        bucket = -(-n_track // self.scan_bucket) * self.scan_bucket
         with timer.phase("extract"):
-            feats_all = self._extract_sequence(images_np[1:], chunks=chunks)
+            if chunks is not None and self.mesh is None:
+                feats_all = self._extract_padded(
+                    self.backbone, tuple(c for c, _ in chunks),
+                    jnp.asarray(n_track, jnp.int32), bucket)
+                pre_padded = True
+            else:
+                feats_all = self._extract_sequence(images_np[1:],
+                                                   chunks=chunks)
+                pre_padded = False
 
         # object init (GN-CG on device), from transfer-minimised inputs:
         # ONE batched program for any object count, consuming the packed
@@ -908,10 +942,9 @@ class BatchedSequenceTracker:
         start_frames = jnp.asarray([o[1] for o in objects], jnp.int32)
         obj_ids = [o[0] for o in objects]
         # bucket the scan length so different sequence lengths share programs
-        n_track = T - 1
-        bucket = -(-n_track // self.scan_bucket) * self.scan_bucket
+        # (the fused extract already returned bucket-padded features)
         pad = bucket - n_track
-        if pad:
+        if pad and not pre_padded:
             feats_all = {L: jnp.concatenate(
                 [v, jnp.repeat(v[-1:], pad, axis=0)]) for L, v in feats_all.items()}
 

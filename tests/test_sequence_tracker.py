@@ -345,3 +345,26 @@ def test_pipelined_run_dataset_matches_default(tmp_path):
         a = (tmp_path / "a" / rel).read_bytes()
         b = (tmp_path / "b" / rel).read_bytes()
         assert a == b, rel
+
+
+def test_fused_extract_padded_matches_chunked_path():
+    """_extract_padded (one dispatch: extract + concat + clamped-gather
+    bucket pad) must equal _extract_sequence + repeat-last concat pad
+    exactly — it replaces them on the preloaded hot path."""
+    cfg, backbone, refiner = _cfg_and_weights()
+    tr = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=4,
+                                scan_bucket=8)
+    rng = np.random.RandomState(3)
+    images = (rng.rand(5, 64, 96, 3) * 255).astype(np.uint8)  # n_track=5
+    chunks = tr._upload_chunks(images)
+
+    bucket = 8                      # ceil(5/8)*8: 3 repeat-last pad rows
+    fused = tr._extract_padded(tr.backbone, tuple(c for c, _ in chunks),
+                               jnp.asarray(5, jnp.int32), bucket)
+    ref = tr._extract_sequence(images, chunks=chunks)
+    ref = {L: jnp.concatenate([v, jnp.repeat(v[-1:], bucket - 5, axis=0)])
+           for L, v in ref.items()}
+    assert sorted(fused) == sorted(ref)
+    for L in ref:
+        np.testing.assert_array_equal(np.asarray(fused[L]),
+                                      np.asarray(ref[L]), err_msg=L)
