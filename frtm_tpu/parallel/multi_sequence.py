@@ -360,9 +360,9 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
                     f0.append(d)
             pairs = [p for _, prep in seq_preps for p in prep["aug"]]
             params_all, states_all, sm_all = self._init_objects(
-                self.backbone, self._disc_params0, jnp.stack(f0),
-                jnp.stack([a for a, _ in pairs]),
-                jnp.stack([b for _, b in pairs]))
+                self.backbone, self._disc_params0, tuple(f0),
+                tuple(a for a, _ in pairs),
+                tuple(b for _, b in pairs))
         obj_ofs = np.cumsum([0] + [len(prep["objects"])
                                    for _, prep in seq_preps])
 

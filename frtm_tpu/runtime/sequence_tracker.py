@@ -256,19 +256,29 @@ class BatchedSequenceTracker:
             device sat idle. This program reconstructs the dense batch from
             ~5.2 MB/object instead:
 
-            :param f0: (N, H, W, 3) uint8 start frames — slot 0 of each
-                augment batch IS the real frame (augmenter.py:352-353,
+            :param f0: TUPLE of N (H, W, 3) uint8 start frames — slot 0 of
+                each augment batch IS the real frame (augmenter.py:352-353,
                 reference model/augmenter.py:473-555), already device-resident
                 from the pre-clock preload, so it is never re-uploaded
-            :param ims_rest: (N, K-1, H, W, 3) uint8 augmented slots 1..K
-            :param lbs_packed: (N, K, H, ceil(W/8)) uint8 np.packbits masks
-                (binary, so 8x smaller; unpack is a VPU shift-and-mask)
+            :param ims_rest: tuple of N (K-1, H, W, 3) uint8 slots 1..K
+            :param lbs_packed: tuple of N (K, H, ceil(W/8)) uint8
+                np.packbits masks (binary, so 8x smaller; unpack is a VPU
+                shift-and-mask)
+
+            The per-object inputs ride in as PYTREE TUPLES and stack inside
+            the program: a host-side jnp.stack would be one extra dispatch
+            each (three tunnel round trips, 10-40 ms apiece when the link
+            is busy) for what XLA fuses into the first consumer anyway.
+
             :return: ({L: params}, {L: states}, (N, H, W) float32 slot-0
                 masks — the scan's start_masks, derived on device instead of
                 uploading another 1.6 MB float32 per object)
             """
+            f0 = jnp.stack(f0)
+            lbs_packed = jnp.stack(lbs_packed)
             W = f0.shape[2]
-            images = jnp.concatenate([f0[:, None], ims_rest], axis=1)
+            images = jnp.concatenate([f0[:, None], jnp.stack(ims_rest)],
+                                     axis=1)
             shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # MSB-first
             bits = (lbs_packed[..., None] >> shifts) & jnp.uint8(1)
             labels = bits.reshape(*lbs_packed.shape[:-1], -1)[..., :W, None]
@@ -932,13 +942,13 @@ class BatchedSequenceTracker:
             with timer.phase("disc_init"):
                 f0 = [self._frame_dev(o[1], images_np, chunks)
                       for o in objects]
-                f0 = jnp.stack([  # no preload (warm-up path): upload now
+                f0 = tuple(  # no preload (warm-up path): upload now
                     jnp.asarray(images_np[o[1]]) if d is None else d
-                    for d, o in zip(f0, objects)])
+                    for d, o in zip(f0, objects))
                 disc_params, disc_states, start_masks = self._init_objects(
                     self.backbone, self._disc_params0, f0,
-                    jnp.stack([a for a, _ in aug_batches]),
-                    jnp.stack([b for _, b in aug_batches]))
+                    tuple(a for a, _ in aug_batches),
+                    tuple(b for _, b in aug_batches))
         start_frames = jnp.asarray([o[1] for o in objects], jnp.int32)
         obj_ids = [o[0] for o in objects]
         # bucket the scan length so different sequence lengths share programs

@@ -107,19 +107,19 @@ def main():
 
         t0 = time.perf_counter()
         packed = [tr._pack_aug_batch(a, b) for a, b in batches]
-        ims = jnp.stack([a for a, _ in packed])
-        lbs = jnp.stack([b for _, b in packed])
-        tr._drain_uploads([ims, lbs])
+        ims = tuple(a for a, _ in packed)
+        lbs = tuple(b for _, b in packed)
+        tr._drain_uploads(list(ims) + list(lbs))
         t_up = time.perf_counter() - t0
-        mb = (ims.size + lbs.size) / 2**20
+        mb = sum(x.size for x in ims + lbs) / 2**20
 
         t0 = time.perf_counter()
         feats_all = fence(tr._extract_sequence(images_np[1:], chunks=chunks))
         t_ext = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        f0 = jnp.stack([tr._frame_dev(o[1], images_np, chunks)
-                        for o in objects])
+        f0 = tuple(tr._frame_dev(o[1], images_np, chunks)
+                   for o in objects)
         dp, ds, sm_dev = tr._init_objects(tr.backbone, tr._disc_params0,
                                           f0, ims, lbs)
         fence((dp, ds))
