@@ -25,7 +25,10 @@ is therefore classified CLEAN or CONTENDED from its own phase profile:
   * non-augment wall > 1.3x the session-best non-augment wall -> the device/
     tunnel path stalled (device work is deterministic; only the environment
     varies run to run).
-Passes keep running until enough clean ones accumulate (bounded attempts).
+Passes keep running until enough clean ones accumulate (bounded attempts AND
+a wall-time budget), and because contention arrives in minutes-scale waves,
+a streak of contended passes triggers a back-off sleep so the samples spread
+across waves instead of burning the whole retry budget inside one bad wave.
 `value` is the median of CLEAN passes — the workload's reproducible
 steady-state number; if the whole window is noisy, `contended` is true and
 `value` falls back to the median of the best half with all raw passes
@@ -44,6 +47,9 @@ Auxiliary fields:
     idle-filling.
   fps_2obj: the 2-object sequence cost (DAVIS 2017 averages ~2 objects; the
     reference protocol's headline is single-object).
+  fps_rn18_fast: the reference's SECOND headline — FRTM-fast (rn18 backbone,
+    --fast iteration schedule, ~41 fps on a V100 per BASELINE.md) under the
+    same protocol and contention filter.
 """
 import json
 import math
@@ -57,9 +63,17 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 REFERENCE_FPS = 21.9   # FRTM rn101, DAVIS, V100 (BASELINE.md)
+REFERENCE_FPS_FAST = 41.0  # FRTM-fast rn18 --fast, DAVIS, V100 (BASELINE.md)
 AUG_CLEAN_MS = 135.0   # 3x the 44 ms standalone host-augment profile
-REST_CLEAN_RATIO = 1.30  # non-augment wall vs session-best (device is stable)
+REST_CLEAN_RATIO = 1.35  # non-augment wall vs session-best (device is stable)
 MIN_CLEAN = 4          # fewer clean passes than this -> contended window
+# Contention arrives in minutes-scale WAVES (hypervisor steal + tunnel load:
+# an r04 window showed passes 1-9 mixed-clean then 10-21 all 10-25x contended,
+# back to back). Sampling attempts back-to-back inside one wave defeats the
+# retry budget, so after a streak of contended passes the measurement sleeps
+# and resumes — spreading the samples across waves under a wall-time budget.
+WAVE_STREAK = 3        # consecutive contended passes = we are inside a wave
+WAVE_SLEEP_S = 20.0    # back-off before sampling again
 
 
 def _classify(recs, aug_clean_ms=AUG_CLEAN_MS):
@@ -82,10 +96,21 @@ def _classify(recs, aug_clean_ms=AUG_CLEAN_MS):
 
 
 def measure_passes(run_pass, n_clean, max_attempts, label,
-                   aug_clean_ms=AUG_CLEAN_MS):
-    """Run passes until n_clean clean ones accumulate (or attempts run out).
-    run_pass() -> (fps, wall_ms, aug_total_ms, aug_call_ms, extra_dict)."""
-    recs = []
+                   aug_clean_ms=AUG_CLEAN_MS, budget_s=420.0,
+                   prior_recs=None):
+    """Run passes until n_clean clean ones accumulate (or attempts/time run
+    out), backing off WAVE_SLEEP_S after every WAVE_STREAK consecutive
+    contended passes so the samples spread across contention waves.
+    run_pass() -> (fps, wall_ms, aug_total_ms, aug_call_ms, extra_dict).
+
+    prior_recs: records from an earlier sampling block of the SAME workload —
+    the caller can re-enter at the end of the whole benchmark run (~20 min
+    later) when the first block met a long contention wave, merging the two
+    time-separated blocks before classification (max_attempts counts only the
+    new passes)."""
+    recs = list(prior_recs or [])
+    t_start = time.time()
+    streak = 0
     for i in range(1, max_attempts + 1):
         fps, wall_ms, aug_total_ms, aug_call_ms, extra = run_pass()
         recs.append({"fps": fps, "wall_ms": wall_ms,
@@ -98,6 +123,17 @@ def measure_passes(run_pass, n_clean, max_attempts, label,
               file=sys.stderr)
         if len(clean) >= n_clean:
             break
+        elapsed = time.time() - t_start
+        if elapsed > budget_s:
+            print(f"{label}: budget {budget_s:.0f}s exhausted after {i} passes",
+                  file=sys.stderr)
+            break
+        streak = streak + 1 if tag == "contended" else 0
+        if streak >= WAVE_STREAK and elapsed + WAVE_SLEEP_S <= budget_s:
+            print(f"{label}: {streak} contended in a row -> backing off "
+                  f"{WAVE_SLEEP_S:.0f}s for the wave to pass", file=sys.stderr)
+            time.sleep(WAVE_SLEEP_S)
+            streak = 0
     clean, noisy = _classify(recs, aug_clean_ms)
     all_fps = [r["fps"] for r in recs]
     if len(clean) >= MIN_CLEAN:
@@ -196,8 +232,9 @@ def main():
     # speedrun warm-up compiles every per-frame program, then the measured
     # passes run under the contention filter (module docstring)
     tracker.run_sequence(seq, speedrun=True)
-    head = measure_passes(_seq_pass_fn(tracker, seq, n_frames),
-                          n_clean=9, max_attempts=21, label="1-obj")
+    head_pass = _seq_pass_fn(tracker, seq, n_frames)
+    head = measure_passes(head_pass, n_clean=9, max_attempts=24,
+                          label="1-obj", budget_s=300.0)
 
     # workload descriptor: device-busy ms for one headline pass (one trace)
     busy = _device_busy_ms(lambda: tracker.run_sequence(seq))
@@ -208,15 +245,38 @@ def main():
     seq2 = make_moving_square_sequence(n_frames=n_frames, size=(480, 854),
                                        square=100, n_objects=2, seed=0)
     tracker.run_sequence(seq2, speedrun=True)
-    two = measure_passes(_seq_pass_fn(tracker, seq2, n_frames),
-                         n_clean=5, max_attempts=12, label="2-obj",
-                         aug_clean_ms=math.inf)
+    two_pass = _seq_pass_fn(tracker, seq2, n_frames)
+    two = measure_passes(two_pass, n_clean=5, max_attempts=14, label="2-obj",
+                         aug_clean_ms=math.inf, budget_s=240.0)
+
+    # the reference's SECOND headline: FRTM-fast = rn18 with the --fast
+    # iteration schedule (~41 fps on a V100, BASELINE.md). Same sequence
+    # content (the upload dedups against the rn101 section's preload).
+    fast = _bench_rn18_fast(n_frames, platform)
 
     # single-chip multi-sequence batching: B independent sequences stacked on
     # the vmapped sequence axis of ONE scan program (a 1-device mesh —
     # the same program that shards over real meshes). Aggregate fps/chip =
     # B * frames / wall; per-sequence init cost is included like the headline.
     batched = _bench_batched(cfg, backbone, refiner, n_frames)
+
+    # LATE RESAMPLING: contention waves can outlast a single section's budget
+    # (an r04 window stayed 10-25x contended for 25+ minutes). If a headline
+    # block under-sampled its clean quorum, re-enter it now — the whole bench
+    # run has elapsed since its first block, so this block sits in a
+    # different wave — and merge the time-separated records.
+    if head["n_clean"] < 9:
+        print("1-obj: late resample (first block met a contention wave)",
+              file=sys.stderr)
+        head = measure_passes(head_pass, n_clean=9, max_attempts=12,
+                              label="1-obj/late", budget_s=180.0,
+                              prior_recs=head["recs"])
+    if two["n_clean"] < 5:
+        print("2-obj: late resample (first block met a contention wave)",
+              file=sys.stderr)
+        two = measure_passes(two_pass, n_clean=5, max_attempts=8,
+                             label="2-obj/late", budget_s=120.0,
+                             aug_clean_ms=math.inf, prior_recs=two["recs"])
 
     clean_scans = [r["extra"]["scan_ms"] for r in head["recs"]
                    if r["aug_call_ms"] <= AUG_CLEAN_MS and r["extra"]["scan_ms"]]
@@ -236,9 +296,18 @@ def main():
         "device_busy_ms": busy,   # per 65-frame pass; wall at `value` fps is
                                   # n_frames/value — the gap to busy is host
                                   # augment + dispatch, not device work
+        # the workload's device-bound fps equivalent: what this chip sustains
+        # when the host/tunnel environment is not in the way (the honest
+        # upper anchor when `contended` is true)
+        "fps_device_bound": (round(n_frames / busy * 1000.0, 1)
+                             if busy else None),
         "fps_2obj": two["value"],
         "fps_2obj_contended": two["contended"],
         "fps_2obj_best": two["best"],
+        "fps_rn18_fast": fast["value"],
+        "vs_baseline_rn18_fast": round(fast["value"] / REFERENCE_FPS_FAST, 3),
+        "fps_rn18_fast_contended": fast["contended"],
+        "fps_rn18_fast_best": fast["best"],
         **batched,
         "scan_ms_median": (round(statistics.median(clean_scans), 1)
                            if clean_scans else None),
@@ -246,6 +315,34 @@ def main():
                              if all_aug else None),
         "passes_fps": [round(r["fps"], 1) for r in head["recs"]],
     }))
+
+
+def _bench_rn18_fast(n_frames, platform):
+    """FRTM-fast headline: rn18 backbone with the --fast schedule
+    (/root/reference/evaluate.py:46-51; the paper's ~41 fps V100 figure,
+    BASELINE.md). Identical protocol to the rn101 headline."""
+    import jax
+    from frtm_tpu.config import eval_config
+    from frtm_tpu.models import init_resnet, init_seg_network, resnet_out_channels
+    from frtm_tpu.runtime.sequence_tracker import BatchedSequenceTracker
+    from frtm_tpu.data.synthetic import make_moving_square_sequence
+
+    arch = "resnet18"
+    cfg = eval_config(arch, fast=True,
+                      compute_dtype="bfloat16" if platform != "cpu" else "float32")
+    backbone = init_resnet(jax.random.PRNGKey(0), arch)
+    ch = {L: c for L, c in resnet_out_channels(arch).items()
+          if L in cfg.refnet_layers}
+    refiner = init_seg_network(jax.random.PRNGKey(1), ch,
+                               use_bn=cfg.refnet_use_bn)
+    tracker = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=16,
+                                     augment_backend="host")
+    seq = make_moving_square_sequence(n_frames=n_frames, size=(480, 854),
+                                      square=120, n_objects=1, seed=0)
+    tracker.run_sequence(seq, speedrun=True)
+    return measure_passes(_seq_pass_fn(tracker, seq, n_frames),
+                          n_clean=6, max_attempts=24, label="rn18-fast",
+                          budget_s=300.0)
 
 
 def _bench_batched(cfg, backbone, refiner, n_frames, batch_sizes=(2, 4)):
@@ -315,8 +412,9 @@ def _bench_batched(cfg, backbone, refiner, n_frames, batch_sizes=(2, 4)):
         one_pass()                       # warm-up: compiles + caches programs
         # n_clean must be >= MIN_CLEAN or the section can never report
         # contended=false (it stops collecting before the judge's quorum)
-        m = measure_passes(one_pass, n_clean=MIN_CLEAN, max_attempts=8,
-                           label=f"batched B={B}", aug_clean_ms=math.inf)
+        m = measure_passes(one_pass, n_clean=MIN_CLEAN, max_attempts=10,
+                           label=f"batched B={B}", aug_clean_ms=math.inf,
+                           budget_s=180.0)
         out[f"fps_batched_b{B}"] = m["value"]
         out[f"fps_batched_b{B}_contended"] = m["contended"]
         # where the wall went, for the pass closest to the reported value

@@ -6,9 +6,18 @@ These tests drive measure_passes with synthetic pass streams."""
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import bench
+
+
+@pytest.fixture(autouse=True)
+def _no_wave_sleep(monkeypatch):
+    """The wave back-off is real-time behavior; tests drive synthetic streams
+    and must not sleep 20 s per contended streak."""
+    monkeypatch.setattr(bench, "WAVE_SLEEP_S", 0.0)
 
 
 def _mk_pass_stream(entries):
@@ -94,3 +103,42 @@ def test_multiobject_streaming_augment_not_flagged_with_inf_threshold():
     m2 = bench.measure_passes(_mk_pass_stream(entries), n_clean=4,
                               max_attempts=4, label="t")
     assert m2["contended"]
+
+
+def test_wave_backoff_sleeps_between_contended_streaks(monkeypatch):
+    # three contended passes in a row inside the budget -> one back-off sleep
+    sleeps = []
+    monkeypatch.setattr(bench, "WAVE_SLEEP_S", 20.0)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    entries = [(90, 600), (85, 700), (80, 650), (190, 44), (191, 45),
+               (189, 44), (190, 46)]
+    m = bench.measure_passes(_mk_pass_stream(entries), n_clean=4,
+                             max_attempts=7, label="t")
+    assert sleeps == [20.0]          # once after the 3-pass streak
+    assert not m["contended"] and m["n_clean"] == 4
+
+
+def test_budget_exhaustion_stops_sampling():
+    # a zero budget stops after the first pass even with attempts remaining
+    entries = [(90, 600)] * 10
+    m = bench.measure_passes(_mk_pass_stream(entries), n_clean=4,
+                             max_attempts=10, label="t", budget_s=0.0)
+    assert m["n_passes"] == 1
+    assert m["contended"]            # 1 < MIN_CLEAN
+
+
+def test_late_resample_merges_time_separated_blocks():
+    # first block: one clean pass inside a contention wave; the late block
+    # (prior_recs=...) lands in a quiet wave and completes the quorum —
+    # classification and the median run over the MERGED records
+    first = bench.measure_passes(
+        _mk_pass_stream([(190, 44), (80, 700), (75, 800)]),
+        n_clean=4, max_attempts=3, label="t")
+    assert first["n_clean"] == 1
+    merged = bench.measure_passes(
+        _mk_pass_stream([(191, 45), (189, 44), (190, 46)]),
+        n_clean=4, max_attempts=3, label="t", prior_recs=first["recs"])
+    assert merged["n_passes"] == 6
+    assert merged["n_clean"] == 4
+    assert not merged["contended"]
+    assert 189 <= merged["value"] <= 191
