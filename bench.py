@@ -201,7 +201,31 @@ def _seq_pass_fn(tracker, seq, n_frames):
     return run_pass
 
 
+def _probe_backend(timeout_s=180.0):
+    """Fail fast if the accelerator is unreachable. The remote-TPU tunnel has
+    gone down for 2+ hours mid-session twice (r03, r04); when it is down,
+    jax.devices() HANGS indefinitely — a bench invoked in that state would
+    hang forever instead of producing a record. Probe in a subprocess with a
+    hard timeout and exit loudly instead."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print(f"FATAL: backend probe hung >{timeout_s:.0f}s — the TPU tunnel "
+              "is down (jax.devices() hangs when it is); refusing to hang the "
+              "benchmark. Re-run when the tunnel is back.", file=sys.stderr)
+        sys.exit(3)
+    if r.returncode != 0:
+        print("FATAL: backend probe failed:\n" + r.stderr[-2000:],
+              file=sys.stderr)
+        sys.exit(3)
+    print(f"backend probe: {r.stdout.strip()}", file=sys.stderr)
+
+
 def main():
+    _probe_backend()
     import jax
     # persistent compile cache: first run through the remote-compile tunnel is
     # slow (~90s/program); later runs hit this cache

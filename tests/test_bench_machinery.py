@@ -127,6 +127,19 @@ def test_budget_exhaustion_stops_sampling():
     assert m["contended"]            # 1 < MIN_CLEAN
 
 
+def test_backend_probe_exits_on_hang(monkeypatch):
+    # a down tunnel makes jax.devices() hang forever; the probe must turn
+    # that into a loud bounded failure instead of a silent eternal hang
+    import subprocess
+
+    def fake_run(*a, **k):
+        raise subprocess.TimeoutExpired(cmd=a[0], timeout=k.get("timeout"))
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    with pytest.raises(SystemExit) as ei:
+        bench._probe_backend(timeout_s=1.0)
+    assert ei.value.code == 3
+
+
 def test_late_resample_merges_time_separated_blocks():
     # first block: one clean pass inside a contention wave; the late block
     # (prior_recs=...) lands in a quiet wave and completes the quorum —
