@@ -62,29 +62,39 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         self._seq_sh = NamedSharding(mesh, P("data"))
         self._repl = NamedSharding(mesh, P())
         self._vscan_cache = {}
-        # in-place row insert for assembling the (B, T, ...) feature buffers:
-        # jnp.stack would hold every per-sequence pyramid AND the stacked copy
-        # alive at once (2x a multi-GB allocation at DAVIS scale — measured
-        # OOM on a 16 GB v5e at B=2 with the rn101 bf16 pyramid). The donated
-        # buffer makes it a true in-place write, peak = buffer + one sequence.
-        self._insert_row = jax.jit(
-            lambda buf, x, i: jax.lax.dynamic_update_slice(
-                buf, x[None].astype(buf.dtype), (i,) + (0,) * x.ndim),
-            donate_argnums=0)
-        # all levels of one sequence in ONE donated dispatch (each dispatch
-        # is a tunnel round trip, 10-40 ms when the link is busy)
-        self._insert_rows = jax.jit(
-            lambda bufs, feats, i: {
-                L: jax.lax.dynamic_update_slice(
-                    bufs[L], feats[L][None].astype(bufs[L].dtype),
-                    (i,) + (0,) * feats[L].ndim)
-                for L in bufs},
-            donate_argnums=0)
-        self._copy_row = jax.jit(
-            lambda buf, src, dst: jax.lax.dynamic_update_slice(
-                buf, jax.lax.dynamic_slice_in_dim(buf, src, 1, 0),
-                (dst,) + (0,) * (buf.ndim - 1)),
-            donate_argnums=0)
+        # fused GROUP extract (round 4): the per-sequence extract+insert pair
+        # cost 2 tunnel round trips each — a contended B=4 capture spent
+        # 634 ms of 'feats' wall on 9 dispatches with the device idle. The
+        # group's preloaded chunks now stack in ONE dispatch and extraction
+        # runs as ONE shard_mapped program over the 'data' axis, so each
+        # device extracts ITS OWN sequences (the loop serialized every
+        # extract on the default device even on real meshes). lax.map over
+        # the local rows bounds peak HBM to the output buffers + one
+        # sequence's pyramid temps — the same envelope as the donated
+        # row-insert assembly it replaces (a plain jnp.stack of per-sequence
+        # pyramids held 2x a multi-GB allocation alive and OOMed a 16 GB
+        # v5e at B=2 with the rn101 bf16 pyramid); the bucket pad stays the
+        # clamped repeat-last gather of _extract_padded (bit-identical).
+        self._stack_rows = jax.jit(
+            lambda rows: jnp.stack([jnp.stack(r) for r in rows]),
+            out_shardings=self._seq_sh)
+
+        def _grp_extract(bb, chunks, n_tracks, bucket):
+            # chunks: (Bp, n_chunks, C, H, W, 3) uint8, sharded on axis 0;
+            # n_tracks: (Bp,) int32. Returns {L: (Bp, bucket, h, w, c)}.
+            def local(bb, cs, nts):
+                def one(args):
+                    c, nt = args
+                    outs = jax.lax.map(lambda ck: self._extract(bb, ck), c)
+                    idx = jnp.minimum(jnp.arange(bucket), nt - 1)
+                    return {L: v.reshape((-1,) + v.shape[2:])[idx]
+                            for L, v in outs.items()}
+                return jax.lax.map(one, (cs, nts))
+            return jax.shard_map(local, mesh=mesh,
+                                 in_specs=(P(), P("data"), P("data")),
+                                 out_specs=P("data"))(bb, chunks, n_tracks)
+
+        self._grp_extract = jax.jit(_grp_extract, static_argnames=("bucket",))
 
     def _get_vscan(self, im_size, windowed: bool = False):
         """jitted sharded vmapped scan, one program per (image size,
@@ -313,32 +323,30 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         # Enqueueing init first (the round-3 order) stalled the whole stream
         # behind its uploads — measured as a 590-800 ms "feats" dispatch wall
         # on B=2 groups (bench.py b2_wall_ms) with the device idle.
-        feats_bufs = None  # {L: (Bp, bucket_T, h, w, c)} built in place
         H, W = im_size
         t_f0, c_f0 = time.perf_counter(), time.thread_time()
-        for i in range(B):
-            sequence, prep = seq_preps[i]
+        # TWO dispatches for the whole group (stack + fused shard_mapped
+        # extract) instead of 2 per sequence: mesh-pad rows repeat the last
+        # sequence's already-device-resident chunks (no upload, outputs are
+        # dropped), and each row's chunk list is padded to the group's fixed
+        # chunk count by repeating its last chunk — the clamped bucket
+        # gather (rows >= n_track read frame n_track-1) never reads them
+        nc_grp = -(-bucket_T // self.extract_chunk)
+        rows, nts = [], []
+        for i in range(Bp):
+            sequence, prep = seq_preps[min(i, B - 1)]
             chunks = prep.get("chunks")
             if chunks is None:
                 chunks = self._upload_chunks(prep["images"][1:])
-            # ONE fused extract+concat+bucket-pad program (repeat-last pad
-            # via a clamped gather, bit-identical) + ONE all-level donated
-            # insert: 2 round trips per sequence instead of ~20
-            feats_all = self._extract_padded(
-                self.backbone, tuple(c for c, _ in chunks),
-                jnp.asarray(prep["n_track"], jnp.int32), bucket_T)
-            if feats_bufs is None:
-                zeros = jax.jit(
-                    lambda sd: {L: jnp.zeros((Bp, bucket_T) + tuple(s), d)
-                                for L, (s, d) in sd},
-                    static_argnums=0, out_shardings=self._seq_sh)
-                feats_bufs = zeros(tuple(
-                    (L, (tuple(v.shape[1:]), v.dtype))
-                    for L, v in sorted(feats_all.items())))
-                feats_bufs = dict(feats_bufs)
-            feats_bufs = self._insert_rows(feats_bufs, feats_all,
-                                           jnp.asarray(i, jnp.int32))
-            del feats_all  # only the (Bp, T) buffers stay resident
+                prep["chunks"] = chunks  # reused by start-frame lookups below
+            cl = [c for c, _ in chunks]
+            cl += [cl[-1]] * (nc_grp - len(cl))
+            rows.append(tuple(cl))
+            nts.append(prep["n_track"])
+        stacked = self._stack_rows(tuple(rows))
+        feats_bufs = self._grp_extract(self.backbone, stacked,
+                                       jnp.asarray(nts, jnp.int32), bucket_T)
+        del stacked
         timer.add("group_feats", time.perf_counter() - t_f0,
                   time.thread_time() - c_f0)
 
@@ -406,11 +414,8 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
             lut_b.append(lut)
 
         for i in range(B, Bp):  # mesh-multiple padding: reuse the last
-            # sequence's already-built arrays (outputs are dropped)
-            for L in feats_bufs:
-                feats_bufs[L] = self._copy_row(
-                    feats_bufs[L], jnp.asarray(B - 1, jnp.int32),
-                    jnp.asarray(i, jnp.int32))
+            # sequence's arrays (outputs are dropped; the feats rows were
+            # already padded inside the fused group extract)
             for lst in (dp_b, ds_b, sf_b, sm_b, lut_b):
                 lst.append(lst[B - 1])
 

@@ -86,6 +86,31 @@ def test_sharded_mixed_object_counts():
 
 
 @pytest.mark.slow
+def test_sharded_mixed_chunk_counts_in_one_group():
+    """Sequences whose lengths share a bucket but need DIFFERENT chunk
+    counts (n_track 1 -> 1 chunk, n_track 4 -> 2 chunks at extract_chunk=2)
+    must group into one program: the fused group extract pads short rows by
+    repeating their last chunk, and the clamped bucket gather never reads
+    the pad — results match per-sequence tracking exactly."""
+    cfg, backbone, refiner = _tiny_cfg()
+    seqs = [make_moving_square_sequence(n_frames=n, size=(64, 96), square=18,
+                                        seed=20 + n, name=f"c{n}")
+            for n in (2, 5)]  # n_track 1 and 4, both bucket 4
+    mesh = make_mesh(8)
+    sharded = ShardedSequenceTracker(cfg, backbone, refiner, mesh,
+                                     extract_chunk=2, length_bucket=4)
+    assert (sharded._group_key_meta(seqs[0])
+            == sharded._group_key_meta(seqs[1]))
+    results = sharded.run_sequences(seqs)
+    single = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=2)
+    for seq in seqs:
+        want, _ = single.run_sequence(seq)
+        assert len(results[seq.name]) == len(want) == len(seq)
+        for t, (a, b) in enumerate(zip(results[seq.name], want)):
+            assert np.mean(a != b) < 0.01, (seq.name, t)
+
+
+@pytest.mark.slow
 def test_sharded_routes_windowed_and_general():
     """Groups where every object's start frame aligns to the re-solve cadence
     take the vmapped WINDOWED program (the single-sequence fast path,
