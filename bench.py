@@ -302,8 +302,13 @@ def main():
                              label="2-obj/late", budget_s=120.0,
                              aug_clean_ms=math.inf, prior_recs=two["recs"])
 
-    clean_scans = [r["extra"]["scan_ms"] for r in head["recs"]
-                   if r["aug_call_ms"] <= AUG_CLEAN_MS and r["extra"]["scan_ms"]]
+    # scan_ms_median must describe the CLEAN workload: filter on full
+    # clean-set membership (augment AND rest-floor criteria), not the augment
+    # criterion alone — a quiet-host pass with a tunnel stall during the scan
+    # is excluded from `value` and must not inflate this stat either
+    head_clean, _ = _classify(head["recs"])
+    clean_scans = [r["extra"]["scan_ms"] for r in head_clean
+                   if r["extra"]["scan_ms"]]
     all_aug = [r["aug_call_ms"] for r in head["recs"] if r["aug_call_ms"]]
     print(json.dumps({
         "metric": "dv2017_frames_per_sec_per_chip_rn101",

@@ -118,7 +118,12 @@ def main():
             # pod-scale inference with zero cross-host collectives
             seqs = list(dset)
             keep = set(process_slice(len(seqs), pid, n_proc))
-            dset_run = [s for i, s in enumerate(seqs) if i in keep]
+
+            class _SubsetView(list):
+                """This process's round-robin share, keeping the dataset
+                attributes the engines read (run_dataset prints .name)."""
+                name = dset.name
+            dset_run = _SubsetView(s for i, s in enumerate(seqs) if i in keep)
             print(f"multihost: process {pid}/{n_proc} tracking "
                   f"{len(dset_run)}/{len(seqs)} sequences")
         else:
@@ -156,7 +161,13 @@ def main():
         sp_mesh = None
         if args.spatial:
             from frtm_tpu.parallel import make_spatial_mesh
-            sp_mesh = make_spatial_mesh(n_spatial=args.spatial)
+            # multihost: spatial-shard on THIS process's devices only — a
+            # mesh over jax.devices() would span hosts and build programs
+            # this process cannot dispatch (inference here is share-nothing
+            # across processes by design)
+            sp_devs = jax.local_devices() if n_proc > 1 else None
+            sp_mesh = make_spatial_mesh(n_spatial=args.spatial,
+                                        devices=sp_devs)
         tracker = BatchedSequenceTracker(cfg, backbone, refiner,
                                          extract_chunk=16, mesh=sp_mesh)
         tracker.run_dataset(dset_run, out_path,

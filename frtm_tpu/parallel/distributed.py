@@ -36,22 +36,33 @@ def init_distributed(coordinator=None, num_processes=None, process_id=None):
 
     Returns (process_id, num_processes). A run is multi-process when any of
     the explicit args or the standard env vars (JAX_COORDINATOR_ADDRESS /
-    JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a TPU-pod metadata server that
-    jax.distributed auto-detects when initialize() is called with no args
-    under a Cloud TPU runtime) say so; otherwise this is a no-op that
-    returns (0, 1) — the graceful single-host degrade VERDICT r3 #8 asks
-    for."""
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID) say so, OR when the Cloud TPU pod
+    runtime's own env marks a multi-worker slice (TPU_WORKER_HOSTNAMES
+    lists several comma-separated workers — single-host boxes show one
+    hostname) — in that case `initialize()` is called with no args and
+    jax.distributed auto-discovers the coordinator from the TPU metadata.
+    Otherwise this is a no-op that returns (0, 1) — the graceful
+    single-host degrade VERDICT r3 #8 asks for; an initialize() failure
+    also degrades to single-process with a warning rather than killing an
+    otherwise-runnable host."""
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    if not coordinator and not num_processes:
+    pod_hint = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if not coordinator and not num_processes and not pod_hint:
         return 0, 1  # single host: nothing to initialize
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except Exception as e:  # mis-set env on a lone box must not be fatal
+        import warnings
+        warnings.warn(f"jax.distributed.initialize failed ({e!r}); "
+                      "continuing single-process")
+        return 0, 1
     return jax.process_index(), jax.process_count()
 
 

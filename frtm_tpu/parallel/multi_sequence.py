@@ -200,15 +200,29 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         if speedrun:
             warmed = set()
             for key, batch in jobs:
-                if key in warmed:
+                # one warm-up per (group key, mesh-padded batch width): a
+                # partial FINAL chunk has a smaller Bp and therefore its own
+                # scan/extract/init programs (the object-slot padding in
+                # _run_group makes the init program a function of exactly
+                # this pair, whatever the chunk's object-count mix)
+                bp = -(-min(len(batch), chunk) // self.n_devices) \
+                    * self.n_devices
+                if (key, bp) in warmed:
                     continue
-                warmed.add(key)
+                warmed.add((key, bp))
                 # replicate one prepared member to the chunk's real batch
                 # width so the warm-up compiles the exact program the clocked
-                # chunks will run (B and its mesh-padded Bp match)
+                # chunks will run
                 preps = _prep_chunk(batch[:1]) * min(len(batch), chunk)
-                self._run_group(preps, key)
-                del preps
+                # compilation is the goal: keep the label volume on device
+                # and skip the warm-up's download + merge where the engine
+                # allows it (the deferred merge runs on host post-download,
+                # so that mode warms through the full path)
+                outs = self._run_group(preps, key,
+                                       as_device=self.merge_mode == "online")
+                if self.merge_mode == "online":
+                    outs.block_until_ready()
+                del preps, outs
             print(f"speedrun: warmed {len(warmed)} group program(s) pre-clock")
 
         t0 = time.time()
@@ -367,6 +381,17 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
                         d = jnp.asarray(prep["images"][start_idx])
                     f0.append(d)
             pairs = [p for _, prep in seq_preps for p in prep["aug"]]
+            # pad the object slots to the GROUP's fixed width (Bp * n_obj):
+            # _init_objects is specialized on its tuple length, so without
+            # this a partial final chunk or a mixed 1-/2-object chunk would
+            # recompile the init program inside the fps clock even after the
+            # speedrun warm-up. Padded slots repeat object 0's device-
+            # resident refs (no upload, ~18 ms device per slot) and their
+            # output rows are never read (obj_ofs spans real objects, which
+            # come first)
+            n_slots = Bp * n_obj
+            f0 += [f0[0]] * (n_slots - len(f0))
+            pairs = pairs + [pairs[0]] * (n_slots - len(pairs))
             params_all, states_all, sm_all = self._init_objects(
                 self.backbone, self._disc_params0, tuple(f0),
                 tuple(a for a, _ in pairs),

@@ -836,6 +836,14 @@ class BatchedSequenceTracker:
                 "the frame height for real spatial speedup)")
             self._sp_warned = True
 
+        if chunks is None:
+            # preload, like the reference — uploaded BEFORE any speedrun
+            # warm-up so the warm-up compiles the exact programs the measured
+            # pass runs (with chunks=None it would take the chunked
+            # _extract_sequence path and leave the fused _extract_padded
+            # program's ~90 s remote compile inside the first measured clock)
+            chunks = self._upload_chunks(images_np[1:])
+
         if speedrun:
             # drain the warm-up's device work before the measured pass —
             # otherwise its scan still occupies the chip when the clock
@@ -849,8 +857,6 @@ class BatchedSequenceTracker:
 
         from ..utils.profiling import PhaseTimer
         timer = PhaseTimer(sync=False)
-        if chunks is None:
-            chunks = self._upload_chunks(images_np[1:])  # preload, like the reference
         self._drain_uploads([self._frame0_dev] + [c for c, _ in chunks])
         # preload COMPLETES before the clock starts (reference:
         # sequence.preload(device) precedes the timed loop,

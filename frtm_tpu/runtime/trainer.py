@@ -429,6 +429,10 @@ class Trainer:
                     jnp.asarray(mask))
         from ..parallel.distributed import global_batch
         g = lambda a, ax: global_batch(self.mesh, a, ax)
+        # np.asarray downloads cold-start disc rows that were just solved on
+        # device — deliberate: a per-row target model is two tiny convs
+        # (~10 KB/row at the training config), so the round trip is noise
+        # next to the (T, B, H, W, 3) image upload it accompanies
         disc_batch = jax.tree.map(lambda x: g(np.asarray(x), 0), disc_batch)
         return disc_batch, g(images, 1), g(labels, 1), g(mask, 0)
 

@@ -111,7 +111,25 @@ def test_sharded_mixed_chunk_counts_in_one_group():
 
 
 @pytest.mark.slow
-def test_sharded_routes_windowed_and_general():
+def test_partial_final_chunk_reuses_group_programs():
+    """A group whose sequence count does not divide the chunk width runs a
+    smaller final chunk. The object-slot padding (_run_group pads the init
+    tuples to Bp * n_obj) plus mesh padding must make that chunk reuse the
+    SAME init/scan programs the warm-up compiled — a fresh trace here would
+    put a ~90 s remote compile inside the fps clock on real hardware."""
+    cfg, backbone, refiner = _tiny_cfg()
+    seqs = [make_moving_square_sequence(n_frames=3, size=(32, 48), square=12,
+                                        seed=30 + s, name=f"p{s}")
+            for s in range(3)]  # chunks of 2 -> batches [2, 1]
+    mesh = make_mesh(2)
+    sharded = ShardedSequenceTracker(cfg, backbone, refiner, mesh,
+                                     extract_chunk=2, length_bucket=4)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        sharded.run_dataset(seqs, td, speedrun=True)
+    assert sharded._init_objects._cache_size() == 1, \
+        "the partial final chunk re-traced the init program"
+    assert len(sharded._vscan_cache) == 1
     """Groups where every object's start frame aligns to the re-solve cadence
     take the vmapped WINDOWED program (the single-sequence fast path,
     measured ~2.3x faster per sequence on v5e than vmapping the per-frame
@@ -171,13 +189,13 @@ def test_run_dataset_streams_with_bounded_memory(tmp_path):
     refs, alive_at_call = [], []
     orig = tracker._run_group
 
-    def spy(seq_preps, key):
+    def spy(seq_preps, key, **kw):
         gc.collect()
         alive_at_call.append(sum(1 for r in refs if r() is not None))
         for _, prep in seq_preps:
             prep["_token"] = _Token()
             refs.append(weakref.ref(prep["_token"]))
-        return orig(seq_preps, key)
+        return orig(seq_preps, key, **kw)
 
     tracker._run_group = spy
     out = tmp_path / "out"
@@ -229,9 +247,9 @@ def test_sharded_run_dataset_speedrun_warms_programs(tmp_path, capsys):
     deltas = []
     orig = tracker._run_group
 
-    def spy(seq_preps, key):
+    def spy(seq_preps, key, **kw):
         before = n_programs()
-        out = orig(seq_preps, key)
+        out = orig(seq_preps, key, **kw)
         deltas.append(n_programs() - before)
         return out
 
