@@ -65,6 +65,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 REFERENCE_FPS = 21.9   # FRTM rn101, DAVIS, V100 (BASELINE.md)
 REFERENCE_FPS_FAST = 41.0  # FRTM-fast rn18 --fast, DAVIS, V100 (BASELINE.md)
 AUG_CLEAN_MS = 135.0   # 3x the 44 ms standalone host-augment profile
+# multi-object passes legitimately stream the previous object's ~5 MB packed
+# upload through the next augment (sequence_tracker._augment_objects), which
+# can add ~100-380 ms/object of genuine workload overlap at tunnel speeds —
+# but a quiet 2-obj pass still measures ~57 ms/object (r04 capture), so an
+# INFINITE threshold let host-steal passes (400-900 ms/object) fill the
+# clean quorum during a wave. 250 ms/object admits real overlap and rejects
+# steal; the rest-floor criterion applies as usual.
+AUG_CLEAN_2OBJ_MS = 250.0
 REST_CLEAN_RATIO = 1.35  # non-augment wall vs session-best (device is stable)
 MIN_CLEAN = 4          # fewer clean passes than this -> contended window
 # Contention arrives in minutes-scale WAVES (hypervisor steal + tunnel load:
@@ -271,7 +279,7 @@ def main():
     tracker.run_sequence(seq2, speedrun=True)
     two_pass = _seq_pass_fn(tracker, seq2, n_frames)
     two = measure_passes(two_pass, n_clean=5, max_attempts=14, label="2-obj",
-                         aug_clean_ms=math.inf, budget_s=240.0)
+                         aug_clean_ms=AUG_CLEAN_2OBJ_MS, budget_s=240.0)
 
     # the reference's SECOND headline: FRTM-fast = rn18 with the --fast
     # iteration schedule (~41 fps on a V100, BASELINE.md). Same sequence
@@ -300,7 +308,8 @@ def main():
               file=sys.stderr)
         two = measure_passes(two_pass, n_clean=5, max_attempts=8,
                              label="2-obj/late", budget_s=120.0,
-                             aug_clean_ms=math.inf, prior_recs=two["recs"])
+                             aug_clean_ms=AUG_CLEAN_2OBJ_MS,
+                             prior_recs=two["recs"])
 
     # scan_ms_median must describe the CLEAN workload: filter on full
     # clean-set membership (augment AND rest-floor criteria), not the augment

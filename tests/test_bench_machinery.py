@@ -105,6 +105,21 @@ def test_multiobject_streaming_augment_not_flagged_with_inf_threshold():
     assert m2["contended"]
 
 
+def test_two_obj_threshold_rejects_steal_but_admits_overlap():
+    # a real r04 2-obj capture: host-steal passes (aug 430-590 ms/obj) filled
+    # the clean quorum under the old infinite threshold and the median read
+    # 49 fps while a genuinely quiet pass measured 57 ms/obj at 103 fps. The
+    # 250 ms/obj threshold admits true upload-overlap inflation (~240 ms)
+    # and rejects steal.
+    entries = [(103, 57), (69, 239), (47, 432), (49, 429), (39, 592),
+               (100, 60), (98, 70), (101, 65)]
+    m = bench.measure_passes(_mk_pass_stream(entries), n_clean=4,
+                             max_attempts=8, label="t",
+                             aug_clean_ms=bench.AUG_CLEAN_2OBJ_MS)
+    assert not m["contended"]
+    assert m["value"] >= 98          # the 39-49 fps steal passes are out
+
+
 def test_wave_backoff_sleeps_between_contended_streaks(monkeypatch):
     # three contended passes in a row inside the budget -> one back-off sleep
     sleeps = []
