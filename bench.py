@@ -80,11 +80,54 @@ MIN_CLEAN = 4          # fewer clean passes than this -> contended window
 # back to back). Sampling attempts back-to-back inside one wave defeats the
 # retry budget, so after a streak of contended passes the measurement sleeps
 # and resumes — spreading the samples across waves under a wall-time budget.
-WAVE_STREAK = 3        # consecutive contended passes = we are inside a wave
+WAVE_STREAK = 3        # consecutive passes without clean-quorum growth = wave
 WAVE_SLEEP_S = 20.0    # back-off before sampling again
 
+# Cross-run rest-floor anchor (VERDICT r4 #2): a section's rest-floor used to
+# come only from its own best pass, so a window where the tunnel was
+# UNIFORMLY slow self-certified 9/9 "clean" at a depressed value (that is
+# how the r04 2-obj section read 75.9 "clean" while the 1-obj section in the
+# same run read 171.7). Each section's best CLEAN rest wall now persists
+# across runs (keyed by a workload version bumped whenever the measured
+# workload changes); the classifier floors on min(observed, anchor * slack),
+# so a uniformly stretched window is flagged contended instead. The slack
+# absorbs legitimate day-to-day tunnel-bandwidth drift on the small in-clock
+# transfers that remain.
+ANCHOR_SLACK = 1.25
+WORKLOAD_VERSION = "r5a"   # bump when a section's workload materially changes
+FLOORS_PATH = os.environ.get(
+    "FRTM_BENCH_FLOORS",
+    os.path.expanduser("~/.cache/frtm_bench_floors.json"))
 
-def _classify(recs, aug_clean_ms=AUG_CLEAN_MS):
+
+def _load_floor(label):
+    """Persisted best-clean rest floor (ms) for a section, or None."""
+    try:
+        with open(FLOORS_PATH) as f:
+            return json.load(f).get(WORKLOAD_VERSION, {}).get(label)
+    except Exception:
+        return None
+
+
+def _store_floor(label, rest_floor_ms):
+    """Merge (min) a section's observed clean rest floor into the store."""
+    try:
+        d = {}
+        if os.path.exists(FLOORS_PATH):
+            with open(FLOORS_PATH) as f:
+                d = json.load(f)
+        sec = d.setdefault(WORKLOAD_VERSION, {})
+        cur = sec.get(label)
+        sec[label] = round(rest_floor_ms if cur is None
+                           else min(cur, rest_floor_ms), 1)
+        os.makedirs(os.path.dirname(FLOORS_PATH), exist_ok=True)
+        with open(FLOORS_PATH, "w") as f:
+            json.dump(d, f)
+    except Exception as e:  # best-effort persistence; never fail the bench
+        print(f"floor store skipped: {e!r}", file=sys.stderr)
+
+
+def _classify(recs, aug_clean_ms=AUG_CLEAN_MS, anchor_ms=None):
     """Split pass records into (clean, contended) under the session-best
     non-augment floor. Each rec: {fps, wall_ms, aug_call_ms, rest_ms}.
     The floor comes from augment-clean passes only: a host-contended pass
@@ -96,35 +139,52 @@ def _classify(recs, aug_clean_ms=AUG_CLEAN_MS):
     object's packed upload streams through the tunnel DURING the next
     augment by design (sequence_tracker._augment_objects), so an inflated
     augment wall there is workload overlap, not host contention; such
-    callers pass math.inf and rely on the rest-floor criterion alone."""
+    callers pass math.inf and rely on the rest-floor criterion alone.
+
+    anchor_ms: cross-run rest-floor anchor (see ANCHOR_SLACK note). The
+    effective floor is min(session best, anchor * ANCHOR_SLACK), so a
+    uniformly slow window cannot certify itself clean against its own
+    depressed best."""
     aug_ok = [r for r in recs if r["aug_call_ms"] <= aug_clean_ms]
     floor = min(r["rest_ms"] for r in (aug_ok or recs))
+    if anchor_ms is not None:
+        floor = min(floor, anchor_ms * ANCHOR_SLACK)
     clean = [r for r in aug_ok if r["rest_ms"] <= REST_CLEAN_RATIO * floor]
     return clean, [r for r in recs if r not in clean]
 
 
 def measure_passes(run_pass, n_clean, max_attempts, label,
                    aug_clean_ms=AUG_CLEAN_MS, budget_s=420.0,
-                   prior_recs=None):
+                   prior_recs=None, anchor_ms=None):
     """Run passes until n_clean clean ones accumulate (or attempts/time run
-    out), backing off WAVE_SLEEP_S after every WAVE_STREAK consecutive
-    contended passes so the samples spread across contention waves.
+    out), backing off WAVE_SLEEP_S whenever the clean count has not GROWN for
+    WAVE_STREAK passes, so the samples spread across contention waves. The
+    no-growth criterion (rather than consecutive contended tags) also fires
+    when a run STARTS inside a wave without an anchor: the first passes tag
+    themselves clean against their own depressed floor, but a later quiet
+    pass reclassifies them and the count stalls (advisor r4).
     run_pass() -> (fps, wall_ms, aug_total_ms, aug_call_ms, extra_dict).
 
     prior_recs: records from an earlier sampling block of the SAME workload —
     the caller can re-enter at the end of the whole benchmark run (~20 min
     later) when the first block met a long contention wave, merging the two
     time-separated blocks before classification (max_attempts counts only the
-    new passes)."""
+    new passes).
+
+    anchor_ms: cross-run rest-floor anchor for _classify. When the final
+    classification reaches a clean quorum, the observed clean floor is
+    persisted back to the store under `label` (min-merged) so later runs are
+    anchored by this one."""
     recs = list(prior_recs or [])
     t_start = time.time()
-    streak = 0
+    since_growth = 0
+    best_clean = 0
     for i in range(1, max_attempts + 1):
         fps, wall_ms, aug_total_ms, aug_call_ms, extra = run_pass()
         recs.append({"fps": fps, "wall_ms": wall_ms,
                      "aug_call_ms": aug_call_ms,
                      "rest_ms": wall_ms - aug_total_ms, "extra": extra})
-        clean, _ = _classify(recs, aug_clean_ms)
+        clean, _ = _classify(recs, aug_clean_ms, anchor_ms)
         tag = "clean" if recs[-1] in clean else "contended"
         print(f"{label} pass {i}: {fps:.1f} fps [{tag}] "
               f"(aug {aug_call_ms:.0f} ms/obj, rest {recs[-1]['rest_ms']:.0f} ms)",
@@ -136,13 +196,21 @@ def measure_passes(run_pass, n_clean, max_attempts, label,
             print(f"{label}: budget {budget_s:.0f}s exhausted after {i} passes",
                   file=sys.stderr)
             break
-        streak = streak + 1 if tag == "contended" else 0
-        if streak >= WAVE_STREAK and elapsed + WAVE_SLEEP_S <= budget_s:
-            print(f"{label}: {streak} contended in a row -> backing off "
-                  f"{WAVE_SLEEP_S:.0f}s for the wave to pass", file=sys.stderr)
+        if len(clean) > best_clean:
+            best_clean = len(clean)
+            since_growth = 0
+        else:
+            since_growth += 1
+        if since_growth >= WAVE_STREAK and elapsed + WAVE_SLEEP_S <= budget_s:
+            print(f"{label}: no clean-quorum growth for {since_growth} passes "
+                  f"-> backing off {WAVE_SLEEP_S:.0f}s for the wave to pass",
+                  file=sys.stderr)
             time.sleep(WAVE_SLEEP_S)
-            streak = 0
-    clean, noisy = _classify(recs, aug_clean_ms)
+            since_growth = 0
+    clean, noisy = _classify(recs, aug_clean_ms, anchor_ms)
+    if len(clean) >= MIN_CLEAN:
+        _store_floor(label.split("/")[0],
+                     min(r["rest_ms"] for r in clean))
     all_fps = [r["fps"] for r in recs]
     if len(clean) >= MIN_CLEAN:
         picked = [r["fps"] for r in clean]
@@ -265,8 +333,10 @@ def main():
     # passes run under the contention filter (module docstring)
     tracker.run_sequence(seq, speedrun=True)
     head_pass = _seq_pass_fn(tracker, seq, n_frames)
+    head_anchor = _load_floor("1-obj")
     head = measure_passes(head_pass, n_clean=9, max_attempts=24,
-                          label="1-obj", budget_s=300.0)
+                          label="1-obj", budget_s=300.0,
+                          anchor_ms=head_anchor)
 
     # workload descriptor: device-busy ms for one headline pass (one trace)
     busy = _device_busy_ms(lambda: tracker.run_sequence(seq))
@@ -278,13 +348,15 @@ def main():
                                        square=100, n_objects=2, seed=0)
     tracker.run_sequence(seq2, speedrun=True)
     two_pass = _seq_pass_fn(tracker, seq2, n_frames)
+    two_anchor = _load_floor("2-obj")
     two = measure_passes(two_pass, n_clean=5, max_attempts=14, label="2-obj",
-                         aug_clean_ms=AUG_CLEAN_2OBJ_MS, budget_s=240.0)
+                         aug_clean_ms=AUG_CLEAN_2OBJ_MS, budget_s=240.0,
+                         anchor_ms=two_anchor)
 
     # the reference's SECOND headline: FRTM-fast = rn18 with the --fast
     # iteration schedule (~41 fps on a V100, BASELINE.md). Same sequence
     # content (the upload dedups against the rn101 section's preload).
-    fast = _bench_rn18_fast(n_frames, platform)
+    fast, fast_pass = _bench_rn18_fast(n_frames, platform)
 
     # single-chip multi-sequence batching: B independent sequences stacked on
     # the vmapped sequence axis of ONE scan program (a 1-device mesh —
@@ -296,26 +368,37 @@ def main():
     # (an r04 window stayed 10-25x contended for 25+ minutes). If a headline
     # block under-sampled its clean quorum, re-enter it now — the whole bench
     # run has elapsed since its first block, so this block sits in a
-    # different wave — and merge the time-separated records.
+    # different wave — and merge the time-separated records. rn18-fast gets
+    # the same treatment (VERDICT r4 #3: its r04 quorum died inside one wave
+    # because only the 1-obj and 2-obj sections re-entered).
     if head["n_clean"] < 9:
         print("1-obj: late resample (first block met a contention wave)",
               file=sys.stderr)
         head = measure_passes(head_pass, n_clean=9, max_attempts=12,
                               label="1-obj/late", budget_s=180.0,
-                              prior_recs=head["recs"])
+                              prior_recs=head["recs"],
+                              anchor_ms=head_anchor)
     if two["n_clean"] < 5:
         print("2-obj: late resample (first block met a contention wave)",
               file=sys.stderr)
         two = measure_passes(two_pass, n_clean=5, max_attempts=8,
                              label="2-obj/late", budget_s=120.0,
                              aug_clean_ms=AUG_CLEAN_2OBJ_MS,
-                             prior_recs=two["recs"])
+                             prior_recs=two["recs"],
+                             anchor_ms=two_anchor)
+    if fast["n_clean"] < 6:
+        print("rn18-fast: late resample (first block met a contention wave)",
+              file=sys.stderr)
+        fast = measure_passes(fast_pass, n_clean=6, max_attempts=10,
+                              label="rn18-fast/late", budget_s=150.0,
+                              prior_recs=fast["recs"],
+                              anchor_ms=_load_floor("rn18-fast"))
 
     # scan_ms_median must describe the CLEAN workload: filter on full
     # clean-set membership (augment AND rest-floor criteria), not the augment
     # criterion alone — a quiet-host pass with a tunnel stall during the scan
     # is excluded from `value` and must not inflate this stat either
-    head_clean, _ = _classify(head["recs"])
+    head_clean, _ = _classify(head["recs"], anchor_ms=head_anchor)
     clean_scans = [r["extra"]["scan_ms"] for r in head_clean
                    if r["extra"]["scan_ms"]]
     all_aug = [r["aug_call_ms"] for r in head["recs"] if r["aug_call_ms"]]
@@ -324,6 +407,24 @@ def main():
         "value": head["value"],
         "unit": "fps",
         "vs_baseline": round(head["value"] / REFERENCE_FPS, 3),
+        # which phases sit inside each section's clock — r03's batched figure
+        # (315, augment+init pre-clock) and r04's (81, all prep serial
+        # in-clock) were silently cross-compared as a 4x collapse because
+        # nothing in the JSON said the protocol changed (VERDICT r4 #4)
+        "protocol": {
+            "workload_version": WORKLOAD_VERSION,
+            "headline": "pre-clock: frame decode + frame upload (drained); "
+                        "in-clock: host augment + init solve + extraction + "
+                        "scan; post-clock: label download",
+            "batched": "steady-state pipelined (round 5): pass wall = "
+                       "dispatch + device block + un-hidden next-pass host "
+                       "prep (augment/packed uploads overlap the block on a "
+                       "background thread, as in run_dataset(pipeline=True); "
+                       "pipeline fill pre-clock). Aggregate throughput — not "
+                       "comparable to r03/r04 batched figures",
+            "classifier": "rest-floor anchored across runs "
+                          f"(~/.cache floors, slack {ANCHOR_SLACK}x)",
+        },
         "contended": head["contended"],
         "best": head["best"],
         "median_all_passes": head["median_all"],
@@ -378,23 +479,37 @@ def _bench_rn18_fast(n_frames, platform):
     seq = make_moving_square_sequence(n_frames=n_frames, size=(480, 854),
                                       square=120, n_objects=1, seed=0)
     tracker.run_sequence(seq, speedrun=True)
-    return measure_passes(_seq_pass_fn(tracker, seq, n_frames),
-                          n_clean=6, max_attempts=24, label="rn18-fast",
-                          budget_s=300.0)
+    fast_pass = _seq_pass_fn(tracker, seq, n_frames)
+    m = measure_passes(fast_pass, n_clean=6, max_attempts=24,
+                       label="rn18-fast", budget_s=300.0,
+                       anchor_ms=_load_floor("rn18-fast"))
+    return m, fast_pass
 
 
 def _bench_batched(cfg, backbone, refiner, n_frames, batch_sizes=(2, 4)):
     """Aggregate fps/chip for B sequences tracked in one vmapped scan program
     on the single chip, under the same contention filter as the headline,
-    with a wall decomposition per pass (VERDICT r3 #4: say where the B=2
-    wall goes): augment (host cv2, per object), group dispatch (init solve +
-    extraction + host assembly of the batched feature buffers), device block.
+    with a wall decomposition per pass.
 
-    Timing protocol matches the headline: frame decode + device upload are
-    pre-clock (the reference preloads before its fps window,
-    model/tracker.py:88-91); augmentation, init solves, extraction, and the
-    scan are in-clock; label download is post-clock."""
+    Protocol (STEADY-STATE PIPELINED, round 5 — VERDICT r4 #4): the r04
+    protocol ran the group's B host augments serially INSIDE the clock on
+    this 1-core host (B=4: 2107 ms of the wall) while the headline pays for
+    one — so the batched record read BELOW single-sequence at both widths
+    and contradicted its own purpose. But serial in-clock augment is not how
+    the batched engine deploys: ShardedSequenceTracker.run_dataset
+    (pipeline=True) prefetches the NEXT chunk's host prep while the current
+    chunk's scan occupies the mesh. This measurement reproduces that steady
+    state: each pass's clock covers dispatch + device block + whatever part
+    of the NEXT pass's host prep (augment + packed uploads, prepared on a
+    background thread) the device block did NOT hide — i.e. per-pass wall =
+    max(device path, host prep) instead of their sum. The first prep is
+    pre-clock (pipeline fill, like the reference's preload). Frame decode +
+    frame upload stay pre-clock as in the headline; label download is
+    post-clock. The JSON `protocol` field records this difference — the
+    figure is an aggregate-throughput number, not comparable to r03/r04
+    batched figures (both had other phases in/out of clock)."""
     import jax
+    from concurrent.futures import ThreadPoolExecutor
     from frtm_tpu.parallel.mesh import make_mesh
     from frtm_tpu.parallel.multi_sequence import ShardedSequenceTracker
     from frtm_tpu.data.synthetic import make_moving_square_sequence
@@ -403,6 +518,7 @@ def _bench_batched(cfg, backbone, refiner, n_frames, batch_sizes=(2, 4)):
     mesh = make_mesh(1)
     st = ShardedSequenceTracker(cfg, backbone, refiner, mesh, extract_chunk=16,
                                 length_bucket=16)
+    pool = ThreadPoolExecutor(1)
     out = {}
     for B in batch_sizes:
         seqs = [make_moving_square_sequence(n_frames=n_frames, size=(480, 854),
@@ -414,25 +530,30 @@ def _bench_batched(cfg, backbone, refiner, n_frames, batch_sizes=(2, 4)):
         inputs = [st.prepare_inputs(q) for q in seqs]   # decode + upload
         jax.block_until_ready([c for inp in inputs for c, _ in inp["chunks"]])
 
+        def prep_group():
+            """B sequences' host prep (augment + packed aug uploads) with its
+            own wall measurement — the part the device block must hide."""
+            t0 = time.perf_counter()
+            preps = [(q, st._prepare(q, preloaded=inp))
+                     for q, inp in zip(seqs, inputs)]
+            return preps, (time.perf_counter() - t0) * 1000.0
+
+        state = {"next": prep_group()}   # pipeline fill: pre-clock
+
         def one_pass():
-            # clock covers augment + init solves + extraction + scan, like
-            # the headline (the reference times its whole per-sequence loop
-            # including object initialisation)
+            preps, prep_ms = state["next"]
             timer = PhaseTimer(sync=False)
             t0 = time.time()
-            preps = []
-            for q, inp in zip(seqs, inputs):
-                with timer.phase("augment"):
-                    preps.append((q, st._prepare(q, preloaded=inp)))
+            fut = pool.submit(prep_group)   # next pass's prep overlaps
             with timer.phase("group_dispatch"):
                 outs = st._run_group(preps, key, as_device=True, timer=timer)
             with timer.phase("device_block"):
                 outs.block_until_ready()
+            with timer.phase("prep_join"):  # exposed (un-hidden) prep time
+                state["next"] = fut.result()
             wall_ms = (time.time() - t0) * 1000.0
             fps = B * n_frames / max(wall_ms / 1000.0, 1e-9)
             ph = timer.stats()
-            # _prepare augments ONE object per call here (1-obj sequences)
-            aug_total = _phase(ph, "augment", "total_s") * 1000.0
             extra = {"dispatch_ms": round(_phase(ph, "group_dispatch",
                                                  "ms_per_call"), 1),
                      # the dispatch wall, attributed (multi_sequence.py
@@ -443,24 +564,33 @@ def _bench_batched(cfg, backbone, refiner, n_frames, batch_sizes=(2, 4)):
                      "scan_dispatch_ms": round(_phase(ph, "group_scan",
                                                       "ms_per_call"), 1),
                      "block_ms": round(_phase(ph, "device_block",
-                                              "ms_per_call"), 1)}
-            return (fps, wall_ms, aug_total,
-                    _phase(ph, "augment", "ms_per_call"), extra)
+                                              "ms_per_call"), 1),
+                     "prep_join_ms": round(_phase(ph, "prep_join",
+                                                  "ms_per_call"), 1),
+                     "prep_thread_ms": round(prep_ms, 1)}
+            # nothing in-clock is a single-threaded host augment here (the
+            # prep runs on the overlap thread); classification rides the
+            # rest-floor criterion alone (aug_clean_ms=inf), with the prep
+            # thread's own wall reported per pass as the diagnostic
+            return fps, wall_ms, 0.0, prep_ms / B, extra
 
         one_pass()                       # warm-up: compiles + caches programs
         # n_clean must be >= MIN_CLEAN or the section can never report
         # contended=false (it stops collecting before the judge's quorum)
         m = measure_passes(one_pass, n_clean=MIN_CLEAN, max_attempts=10,
                            label=f"batched B={B}", aug_clean_ms=math.inf,
-                           budget_s=180.0)
+                           budget_s=180.0,
+                           anchor_ms=_load_floor(f"batched B={B}"))
         out[f"fps_batched_b{B}"] = m["value"]
         out[f"fps_batched_b{B}_contended"] = m["contended"]
         # where the wall went, for the pass closest to the reported value
         pick = min(m["recs"], key=lambda r: abs(r["fps"] - m["value"]))
-        out[f"b{B}_wall_ms"] = {
-            "augment": round(pick["wall_ms"] - pick["rest_ms"], 1),
-            **pick["extra"]}
+        out[f"b{B}_wall_ms"] = pick["extra"]
+        # drain the last overlapped prep so its uploads do not ride into the
+        # next section's measurements
+        state["next"] = None
         del inputs
+    pool.shutdown(wait=True)
     return out
 
 

@@ -14,10 +14,13 @@ import bench
 
 
 @pytest.fixture(autouse=True)
-def _no_wave_sleep(monkeypatch):
+def _no_wave_sleep(monkeypatch, tmp_path):
     """The wave back-off is real-time behavior; tests drive synthetic streams
-    and must not sleep 20 s per contended streak."""
+    and must not sleep 20 s per contended streak. The cross-run floor store
+    is redirected to a per-test temp file so tests neither read a developer's
+    real floors nor pollute them."""
     monkeypatch.setattr(bench, "WAVE_SLEEP_S", 0.0)
+    monkeypatch.setattr(bench, "FLOORS_PATH", str(tmp_path / "floors.json"))
 
 
 def _mk_pass_stream(entries):
@@ -153,6 +156,59 @@ def test_backend_probe_exits_on_hang(monkeypatch):
     with pytest.raises(SystemExit) as ei:
         bench._probe_backend(timeout_s=1.0)
     assert ei.value.code == 3
+
+
+def test_uniformly_slow_window_flags_contended_with_anchor():
+    # VERDICT r4 #2 'done' criterion: a section where EVERY pass is uniformly
+    # ~3x stretched (the r04 2-obj capture: 75.9 fps flagged 9/9 "clean"
+    # while 1-obj read 171.7 in the same run) self-certifies clean against
+    # its own depressed best pass; with the cross-run rest-floor anchor it
+    # must flag contended instead.
+    entries = [(76, 44)] * 9          # rest ~811 ms every pass, uniform
+    m0 = bench.measure_passes(_mk_pass_stream(entries), n_clean=9,
+                              max_attempts=9, label="t")
+    assert not m0["contended"]        # the old failure mode, sans anchor
+    m = bench.measure_passes(_mk_pass_stream(entries), n_clean=9,
+                             max_attempts=9, label="t", anchor_ms=290.0)
+    assert m["contended"]             # anchored: uniformly slow != clean
+    assert m["n_clean"] == 0
+    # and a genuinely quiet window under the same anchor stays clean
+    # (the ANCHOR_SLACK absorbs normal tunnel drift above the stored floor)
+    quiet = [(190 + (i % 3), 44.0) for i in range(9)]
+    mq = bench.measure_passes(_mk_pass_stream(quiet), n_clean=9,
+                              max_attempts=9, label="t", anchor_ms=290.0)
+    assert not mq["contended"] and mq["n_clean"] == 9
+
+
+def test_floor_persists_and_anchors_the_next_run():
+    # a clean-quorum run stores its observed clean rest floor; a later run
+    # loads it as the anchor (min-merged across runs, late blocks share the
+    # base label's key)
+    entries = [(190, 44), (191, 44), (189, 44), (190, 44)]
+    bench.measure_passes(_mk_pass_stream(entries), n_clean=4,
+                         max_attempts=4, label="1-obj")
+    f = bench._load_floor("1-obj")
+    assert f is not None and 290 <= f <= 300    # 65/191*1000-44 ~= 296
+    bench.measure_passes(_mk_pass_stream([(200, 44)] * 4), n_clean=4,
+                         max_attempts=4, label="1-obj/late")
+    assert bench._load_floor("1-obj") < f       # min-merged under base key
+
+
+def test_backoff_fires_when_run_starts_inside_wave(monkeypatch):
+    # ADVICE r4: a run STARTING inside a wave used to tag its first passes
+    # clean (the first pass defined the floor), so the contended-streak
+    # back-off never fired and the budget burned inside the wave. With the
+    # anchor those passes classify contended immediately and the no-growth
+    # back-off triggers before the wave ends.
+    sleeps = []
+    monkeypatch.setattr(bench, "WAVE_SLEEP_S", 20.0)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    entries = [(80, 44)] * 4 + [(190, 44), (191, 44), (189, 44), (190, 44)]
+    m = bench.measure_passes(_mk_pass_stream(entries), n_clean=4,
+                             max_attempts=8, label="t", anchor_ms=290.0)
+    assert sleeps, "no back-off fired inside the opening wave"
+    assert not m["contended"]
+    assert m["value"] >= 189
 
 
 def test_late_resample_merges_time_separated_blocks():

@@ -130,6 +130,10 @@ def test_partial_final_chunk_reuses_group_programs():
     assert sharded._init_objects._cache_size() == 1, \
         "the partial final chunk re-traced the init program"
     assert len(sharded._vscan_cache) == 1
+
+
+@pytest.mark.slow
+def test_sharded_routes_windowed_and_general():
     """Groups where every object's start frame aligns to the re-solve cadence
     take the vmapped WINDOWED program (the single-sequence fast path,
     measured ~2.3x faster per sequence on v5e than vmapping the per-frame
