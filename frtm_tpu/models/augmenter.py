@@ -389,7 +389,7 @@ class ImageAugmenter:
     # -- top level ----------------------------------------------------------
 
     def augment_first_frame(self, image, mask, rng: np.random.RandomState,
-                            copy: bool = True):
+                            copy: bool = True, compact: bool = False):
         """Create num_aug augmented (image, label) pairs; slot 0 is the real
         frame (reference lines 473-555).
 
@@ -401,7 +401,16 @@ class ImageAugmenter:
                       safe when this is the last augmentation before the
                       batch is fully consumed (the fused tracker passes it
                       for the final object to skip a multi-MB copy).
-        :return: (images (K, H, W, 3) uint8 0-255, labels (K, H, W, 1) uint8 0/1)
+        :param compact: return a CompactAugBatch (background descriptors +
+                      blended paste rectangles) instead of materialised
+                      full-frame buffers — the transfer-minimised encoding
+                      the device composes back (models/aug_compose.py). The
+                      spec/RNG stream, accept decisions, and all patch math
+                      are IDENTICAL to the dense path (the two modes share
+                      this loop); only the full-frame buffer writes are
+                      skipped. See CompactAugBatch for the exactness bound.
+        :return: (images (K, H, W, 3) uint8 0-255, labels (K, H, W, 1)
+                  uint8 0/1), or a CompactAugBatch when compact=True
         """
         p = self.params
         image = np.asarray(image)
@@ -430,30 +439,38 @@ class ImageAugmenter:
         # object's init from the LAST object's augmentation (round-2 bug).
         K = p["num_aug"]
         H, W = im_sz
-        key = (K, H, W)
-        if getattr(self, "_buf_key", None) != key:
-            self._buf_key = key
-            self._buf_im = np.empty((K, H, W, 3), np.uint8)
-            self._buf_lb = np.empty((K, H, W, 1), np.uint8)
-        buf_im, buf_lb = self._buf_im, self._buf_lb
-        buf_im[0] = image
-        buf_lb[0] = mask
+        if not compact:
+            key = (K, H, W)
+            if getattr(self, "_buf_key", None) != key:
+                self._buf_key = key
+                self._buf_im = np.empty((K, H, W, 3), np.uint8)
+                self._buf_lb = np.empty((K, H, W, 1), np.uint8)
+            buf_im, buf_lb = self._buf_im, self._buf_lb
+            buf_im[0] = image
+            buf_lb[0] = mask
 
         # Background warps/blurs are fully deterministic per spec (no rng
         # inside), and the spec lists draw from small value sets — memoise
         # per spec tuple so repeated (scale, blur) combinations reuse one
         # full-frame warp+filter (f32 for compositing, uint8 for the buffer).
+        # Each cache entry also carries the compact decomposition: the
+        # pre-blur base index (0 = inpainted, >=1 = warp_bases) and the blur
+        # kernel the device re-applies.
         bg_cache = {}
+        warp_bases = []          # uint8 pre-blur warped backgrounds
+        warp_bases_f32 = []      # their f32 forms (blend + host filter input)
+        base_idx_of = {}         # transform bytes -> 1-based base index
+        _ID_K = np.ones((1, 1), np.float32)
 
         inpainted3 = np.atleast_3d(inpainted)
 
         def bg_for(bg_spec):
-            """(f32 background or None-for-untouched-uint8, uint8 background).
-            A no-op spec (identity transform, no blur) returns the inpainted
-            frame itself with NO full-frame conversions; the paste converts
-            just its bbox slice."""
+            """(f32 background or None-for-untouched-uint8, uint8 background,
+            base index, blur kernel). A no-op spec (identity transform, no
+            blur) returns the inpainted frame itself with NO full-frame
+            conversions; the paste converts just its bbox slice."""
             if bg_spec is None:
-                return None, inpainted3
+                return None, inpainted3, 0, _ID_K
             bgkey = (tuple(bg_spec.location), bg_spec.rotation,
                      bg_spec.fliplr, bg_spec.scale, tuple(bg_spec.skew),
                      bg_spec.blur_size, bg_spec.blur_angle)
@@ -461,14 +478,33 @@ class ImageAugmenter:
             if hit is None:
                 T, G = self.get_transform(bg_spec, (W / 2, H / 2, W, H),
                                           im_sz, limit_scale=False)
-                if np.allclose(T, np.eye(3), atol=1e-12) and G.shape == (1, 1):
-                    hit = (None, inpainted3)
+                ident_T = np.allclose(T, np.eye(3), atol=1e-12)
+                if ident_T and G.shape == (1, 1):
+                    hit = (None, inpainted3, 0, _ID_K)
+                elif ident_T:
+                    # blur-only: base is the inpainted frame itself
+                    f32 = self._filter_image(
+                        np.asarray(inpainted3, np.float32), G)
+                    hit = (f32, f32.astype(np.uint8), 0, G)
                 else:
-                    f32 = self.warp_and_filter_image(inpainted, T, G)
-                    hit = (f32, f32.astype(np.uint8))
+                    tkey = T.tobytes()
+                    bi = base_idx_of.get(tkey)
+                    if bi is None:
+                        w32 = np.clip(self._warp(inpainted, T, "bicubic"),
+                                      0, 255)
+                        warp_bases.append(w32.astype(np.uint8))
+                        warp_bases_f32.append(w32)
+                        bi = base_idx_of[tkey] = len(warp_bases)
+                    w32 = warp_bases_f32[bi - 1]
+                    f32 = (self._filter_image(w32, G)
+                           if G.shape != (1, 1) else w32)
+                    hit = (f32, f32.astype(np.uint8), bi, G)
                 bg_cache[bgkey] = hit
             return hit
 
+        min_px = p["min_px_count"]
+        max_px = H * W - min_px
+        slots = []               # compact per-slot records
         N = K - 1
         n_good = 0
         retries = -1
@@ -489,27 +525,71 @@ class ImageAugmenter:
             for fg_spec, bg_spec in zip(fg_specs, bg_specs):
                 if n_good >= N:
                     break
-                bg_f32, bg_u8 = bg_for(bg_spec)
+                bg_f32, bg_u8, base_idx, bg_kern = bg_for(bg_spec)
                 T, G = self.get_transform(fg_spec, tg_bbox, im_sz)
                 tgt, (y0, y1, x0, x1), lbl = self._paste_bbox(
                     target, mask, T, G, src_bbox=tg_bbox, im_size=im_sz)
 
-                # write the candidate into the next slot; rejects get
-                # overwritten by the following candidate
-                k = n_good + 1
-                buf_lb[k] = 0
+                # visibility check on the label rectangle (zero outside it,
+                # so the count equals verify_frame's full-frame count,
+                # reference lines 454-471)
                 if tgt is not None:
-                    buf_lb[k, y0:y1, x0:x1] = np.atleast_3d(lbl).astype(np.uint8)
-                if not self.verify_frame([1], buf_lb[k], no_background):
+                    lbl3 = np.atleast_3d(lbl).astype(np.uint8)
+                    px = int((lbl3 == 1).sum())
+                else:
+                    lbl3, px = None, 0
+                if not (px >= min_px and (px < max_px or no_background)):
                     continue
-                buf_im[k] = bg_u8
                 if tgt is not None:
                     alpha = tgt[..., 3:4] / 255.0
                     bg_region = (bg_u8 if bg_f32 is None else
-                                 bg_f32)[y0:y1, x0:x1].astype(np.float32, copy=False)
-                    buf_im[k, y0:y1, x0:x1] = np.clip(
-                        tgt[..., :3] * alpha + bg_region * (1.0 - alpha), 0, 255)
+                                 bg_f32)[y0:y1, x0:x1].astype(np.float32,
+                                                              copy=False)
+                    patch = np.clip(tgt[..., :3] * alpha
+                                    + bg_region * (1.0 - alpha),
+                                    0, 255).astype(np.uint8)
+                else:  # accepted with no paste (only min_px_count == 0)
+                    patch = np.zeros((1, 1, 3), np.uint8)
+                    lbl3 = np.zeros((1, 1, 1), np.uint8)
+                    y0 = x0 = y1 = x1 = 0
+
+                k = n_good + 1
+                if compact:
+                    slots.append(dict(bg_idx=base_idx, kernel=bg_kern,
+                                      patch=patch,
+                                      box=(y0, x0, y1 - y0, x1 - x0),
+                                      lbl=lbl3[..., 0]))
+                else:
+                    buf_lb[k] = 0
+                    buf_lb[k, y0:y1, x0:x1] = lbl3
+                    buf_im[k] = bg_u8
+                    buf_im[k, y0:y1, x0:x1] = patch
                 n_good += 1
+
+        if compact:
+            # the inpainted frame differs from the real frame only inside the
+            # dilated target mask (cv2.inpaint writes nothing outside it), so
+            # it rides as the difference rectangle
+            diff = (inpainted3 != image).any(axis=-1)
+            dys = np.flatnonzero(diff.any(axis=1))
+            dxs = np.flatnonzero(diff.any(axis=0))
+            if len(dys):
+                yi, xi = int(dys[0]), int(dxs[0])
+                hi, wi = int(dys[-1]) - yi + 1, int(dxs[-1]) - xi + 1
+            else:
+                yi = xi = hi = wi = 0
+            return CompactAugBatch(
+                image=image,
+                mask=mask[..., 0].astype(np.uint8),
+                inpaint_patch=np.ascontiguousarray(
+                    inpainted3[yi:yi + hi, xi:xi + wi]),
+                inpaint_box=(yi, xi, hi, wi),
+                warp_bases=warp_bases,
+                bg_idx=[s["bg_idx"] for s in slots],
+                kernels=[s["kernel"] for s in slots],
+                patches=[s["patch"] for s in slots],
+                boxes=[s["box"] for s in slots],
+                lbl_patches=[s["lbl"] for s in slots])
 
         # pasted images become bytes like the reference's .byte() cast
         # (warp_filter_and_paste, augmenter.py:402); labels are exact 0/1

@@ -38,9 +38,16 @@ class ShardedSequenceTracker(BatchedSequenceTracker):
         # common B=2 groups; see BatchedSequenceTracker.__init__.
         if decode_chunk is None:
             decode_chunk = 2 if jax.default_backend() == "tpu" else 0
+        # aug_compact stays OFF for the group engine: the compact init
+        # program's signature includes every object's patch-bucket shapes,
+        # so mixed-size chunks on a real dataset would re-trace the group
+        # init (~90 s remote compile) inside the fps clock; the dense packed
+        # encoding keeps one program per (group key, batch width). Group
+        # prep is pipelined anyway (run_dataset pipeline=True), which hides
+        # the larger upload.
         super().__init__(cfg, backbone_params, refiner_params,
                          extract_chunk=extract_chunk, merge_mode=merge_mode,
-                         decode_chunk=decode_chunk)
+                         decode_chunk=decode_chunk, aug_compact=False)
         self.mesh = mesh
         self.length_bucket = length_bucket
         n_dev = int(np.prod(list(mesh.shape.values())))

@@ -120,8 +120,20 @@ class BatchedSequenceTracker:
     def __init__(self, cfg: TrackerConfig, backbone_params, refiner_params,
                  extract_chunk: int = 8, merge_mode: str = "online",
                  scan_bucket: int = 16, augment_backend: str = "host",
-                 decode_chunk=None, mesh=None):
-        """mesh: optional jax.sharding.Mesh with a 'spatial' axis — the
+                 decode_chunk=None, mesh=None, aug_compact=None):
+        """aug_compact: ship first-frame augment batches in the COMPACT
+        encoding (background descriptors + blended paste rectangles,
+        models/aug_compose.py) and compose them on device inside the init
+        program, instead of uploading ~4.9 MB of full augmented frames per
+        object (VERDICT r4 #1 — the 2-object pass was transfer-bound on the
+        13-50 MB/s tunnel). None = auto: on for host-augment backends on
+        TPU (where the tunnel is the bottleneck), off on CPU (tests pin the
+        dense path there; exactness of compact-vs-dense is gated by
+        tests/test_aug_compose.py and the fused-tracker equivalence test).
+        The encoding is bit-exact except non-identity backgrounds outside
+        the paste rectangle (<=1 uint8 count — CompactAugBatch docstring).
+
+        mesh: optional jax.sharding.Mesh with a 'spatial' axis — the
         multi-chip single-SEQUENCE mode: the feature pyramid and every
         activation inside the scan/window programs shard along the frame
         height over that axis (parallel/spatial.py semantics applied to the
@@ -144,6 +156,15 @@ class BatchedSequenceTracker:
         self.backbone = backbone_params
         self.refiner = refiner_params
         self.augment_backend = augment_backend
+        if aug_compact is None:
+            aug_compact = (jax.default_backend() == "tpu"
+                           and augment_backend != "device")
+        self.aug_compact = aug_compact and augment_backend != "device"
+        # dispatch the fused whole-sequence extract BEFORE the host augment
+        # (see _run's ordering note); numerically a no-op, purely an
+        # enqueue-order choice, so it is safe to enable wherever the fused
+        # one-dispatch extract path exists
+        self.extract_first = True
         if augment_backend == "device":
             from ..models.device_augmenter import DeviceAugmenter
             self.augmenter = DeviceAugmenter(cfg.aug_params)
@@ -285,9 +306,33 @@ class BatchedSequenceTracker:
             params, states = _init_objects_from_dense(bb, p0, images, labels)
             return params, states, labels[:, 0, :, :, 0].astype(jnp.float32)
 
+        @jax.jit
+        def _init_objects_compact(bb, p0, f0, packs):
+            """Multi-object init from COMPACT augment encodings (VERDICT r4
+            #1): each object's augment batch is composed ON DEVICE from its
+            packed pieces (models/aug_compose.py — inpaint rectangle, at
+            most one warped background, per-slot blur kernels + blended
+            paste rectangles, ~1-2 MB/object) and feeds extraction directly;
+            the ~4.9 MB of dense augmented frames never cross the tunnel.
+
+            :param f0: tuple of N (H, W, 3) uint8 start frames
+                (device-resident from the pre-clock preload)
+            :param packs: tuple of N pack_compact_batch dicts — per-object
+                patch-bucket shapes may differ (the loop is python-unrolled,
+                so each object's leaves keep their own static shapes)
+            :return: same as _init_objects
+            """
+            from ..models.aug_compose import compose_aug_batch
+            pairs = [compose_aug_batch(f, pk) for f, pk in zip(f0, packs)]
+            images = jnp.stack([im for im, _ in pairs])
+            labels = jnp.stack([lb for _, lb in pairs])
+            params, states = _init_objects_from_dense(bb, p0, images, labels)
+            return params, states, labels[:, 0, :, :, 0].astype(jnp.float32)
+
         self._extract_disc_layer = _extract_disc_layer
         self._init_disc = _init_disc
         self._init_objects = _init_objects
+        self._init_objects_compact = _init_objects_compact
         # dense-signature variant for callers whose batches are already
         # device-resident (the device augmenter produces device arrays, so
         # there is no transfer to minimise)
@@ -732,12 +777,21 @@ class BatchedSequenceTracker:
         never need copying (copy=False throughout).
 
         Returns [(ims_rest_dev, lbs_packed_dev)] per object — the
-        _pack_aug_batch format that _init_objects consumes."""
+        _pack_aug_batch format that _init_objects consumes — or, in compact
+        mode, [pack_compact_batch dict] for _init_objects_compact."""
         from ..utils.profiling import PhaseTimer
         timer = timer or PhaseTimer(sync=False)
         batches = []
         for k, (obj_id, start_idx, mask, image) in enumerate(objects):
             rng = np.random.RandomState(0)
+            if self.aug_compact:
+                from ..models.aug_compose import pack_compact_batch
+                with timer.phase("augment"):
+                    compact = self.augmenter.augment_first_frame(
+                        image, mask[..., None], rng, compact=True)
+                with timer.phase("aug_upload"):
+                    batches.append(pack_compact_batch(compact))
+                continue
             with timer.phase("augment"):
                 im_aug, lb_aug = self.augmenter.augment_first_frame(
                     image, mask[..., None], rng, copy=False)
@@ -775,15 +829,10 @@ class BatchedSequenceTracker:
         chunks = self._upload_chunks(images_np[1:])
         aug = None
         if self.augment_backend != "device":
-            aug = []
-            for obj_id, start_idx, mask, image in self._collect_objects(sequence):
-                rng = np.random.RandomState(0)
-                im_aug, lb_aug = self.augmenter.augment_first_frame(
-                    image, mask[..., None], rng, copy=False)
-                # packed upload right after each augment (device_put commits
-                # the copy before returning, so the augmenter may reuse its
-                # buffers on the next iteration)
-                aug.append(self._pack_aug_batch(im_aug, lb_aug))
+            # same formats as _augment_objects (compact dicts or dense
+            # packed pairs); uploads start right after each augment
+            aug = self._augment_objects(self._collect_objects(sequence),
+                                        timer=None)
         return {"images_np": images_np, "frame0_dev": frame0_dev,
                 "chunks": chunks, "aug_batches": aug}
 
@@ -892,13 +941,33 @@ class BatchedSequenceTracker:
         if T == 1:  # nothing to track: the output is the start labels
             return (self._frame0_label(objects, im_size),)
 
-        # host augmentation runs FIRST, before any device work is dispatched:
-        # on this 1-core host the tunnel/dispatch threads servicing in-flight
-        # device programs starve the cv2 augment thread (measured: ~40 ms
-        # standalone vs 109-447 ms when overlapped with extraction — the
-        # round-2 "overlap win" inverted once the augmenter itself got fast).
-        # The device augmenter is the exception: it IS device work, so it
-        # still interleaves with extraction below.
+        n_track = T - 1
+        bucket = -(-n_track // self.scan_bucket) * self.scan_bucket
+        fused_path = chunks is not None and self.mesh is None
+        feats_all = None
+
+        # Dispatch ordering (round-5 re-measure of the round-2 lesson): the
+        # one-dispatch _extract_padded reads only DEVICE-RESIDENT chunks, so
+        # enqueueing it before the host augment costs one ~1 ms round trip
+        # and then ~73 ms of backbone work executes WHILE the host runs cv2
+        # (the round-2 "augment first" rule predates the fused extract: back
+        # then extraction was 5 chunked dispatches with in-flight uploads
+        # whose tunnel threads starved the 1-core host's cv2). The device
+        # executes in enqueue order, so the compact init's small uploads
+        # stream during the extract and the init program queues behind it —
+        # exactly the order _run_group proved out (multi_sequence.py).
+        if self.extract_first and fused_path \
+                and self.augment_backend != "device" and aug_batches is None:
+            with timer.phase("extract"):
+                feats_all = self._extract_padded(
+                    self.backbone, tuple(c for c, _ in chunks),
+                    jnp.asarray(n_track, jnp.int32), bucket)
+                pre_padded = True
+
+        # host augmentation before any remaining device dispatch: in-flight
+        # UPLOAD streams starve the 1-core host's cv2 threads (measured round
+        # 2/4); with extract_first only the already-resident extract runs
+        # underneath, which has no host-side traffic.
         if aug_batches is None:
             aug_batches = self._augment_objects(objects, timer) \
                 if self.augment_backend != "device" else []
@@ -909,18 +978,17 @@ class BatchedSequenceTracker:
         # fused dispatch (_extract_padded) — each dispatch is a tunnel round
         # trip, 10-40 ms in contended windows; the mesh path keeps the
         # chunked program (its sharding constraints live in _extract).
-        n_track = T - 1
-        bucket = -(-n_track // self.scan_bucket) * self.scan_bucket
-        with timer.phase("extract"):
-            if chunks is not None and self.mesh is None:
-                feats_all = self._extract_padded(
-                    self.backbone, tuple(c for c, _ in chunks),
-                    jnp.asarray(n_track, jnp.int32), bucket)
-                pre_padded = True
-            else:
-                feats_all = self._extract_sequence(images_np[1:],
-                                                   chunks=chunks)
-                pre_padded = False
+        if feats_all is None:
+            with timer.phase("extract"):
+                if fused_path:
+                    feats_all = self._extract_padded(
+                        self.backbone, tuple(c for c, _ in chunks),
+                        jnp.asarray(n_track, jnp.int32), bucket)
+                    pre_padded = True
+                else:
+                    feats_all = self._extract_sequence(images_np[1:],
+                                                       chunks=chunks)
+                    pre_padded = False
 
         # object init (GN-CG on device), from transfer-minimised inputs:
         # ONE batched program for any object count, consuming the packed
@@ -951,10 +1019,17 @@ class BatchedSequenceTracker:
                 f0 = tuple(  # no preload (warm-up path): upload now
                     jnp.asarray(images_np[o[1]]) if d is None else d
                     for d, o in zip(f0, objects))
-                disc_params, disc_states, start_masks = self._init_objects(
-                    self.backbone, self._disc_params0, f0,
-                    tuple(a for a, _ in aug_batches),
-                    tuple(b for _, b in aug_batches))
+                if self.aug_compact:
+                    disc_params, disc_states, start_masks = \
+                        self._init_objects_compact(
+                            self.backbone, self._disc_params0, f0,
+                            tuple(aug_batches))
+                else:
+                    disc_params, disc_states, start_masks = \
+                        self._init_objects(
+                            self.backbone, self._disc_params0, f0,
+                            tuple(a for a, _ in aug_batches),
+                            tuple(b for _, b in aug_batches))
         start_frames = jnp.asarray([o[1] for o in objects], jnp.int32)
         obj_ids = [o[0] for o in objects]
         # bucket the scan length so different sequence lengths share programs
@@ -983,18 +1058,51 @@ class BatchedSequenceTracker:
         if self.merge_mode == "online":
             return (frame0_label, outs[:n_track])
 
-        # deferred: assemble the whole soft volume, insert GT at start frames,
-        # merge once (legacy ytvos_validation/tracker.py:107-116)
+        # deferred: whole-sequence merge with GT inserted at start frames
+        # (legacy ytvos_validation/tracker.py:107-116), chunked in bounded
+        # T-windows (VERDICT r4 #8): the merge is per-frame independent
+        # (reference tracker.py:53-62), so windowing caps its temporaries —
+        # an all-frames 720p 3-object sequence's soft volume alone is
+        # ~2.7 GB (scripts/ytvos_dress_rehearsal.py) and the unchunked merge
+        # held a full second copy (concat + scatter + softmax temps) on top.
         with timer.phase("deferred_merge"):
-            fg = jnp.concatenate(
-                [jnp.zeros((1,) + outs.shape[1:], outs.dtype), outs[:n_track]])
-            for k, (obj_id, start_idx, mask, _) in enumerate(objects):
-                fg = fg.at[start_idx, k].set(jnp.asarray(mask))
             if soft:
+                fg = jnp.concatenate(
+                    [jnp.zeros((1,) + outs.shape[1:], outs.dtype),
+                     outs[:n_track]])
+                for k, (obj_id, start_idx, mask, _) in enumerate(objects):
+                    fg = fg.at[start_idx, k].set(jnp.asarray(mask))
                 return (fg[:T],)
-            labels = self._merge_volume(fg, lut)
+            labels = self._merge_volume_windows(outs, objects, lut, T)
             labels.block_until_ready()
-        return (labels[:T],)
+        return (labels,)
+
+    def _merge_volume_windows(self, outs, objects, lut, T,
+                              window: int = 32):
+        """Deferred whole-sequence merge in fixed-size frame windows: each
+        call merges a (window, N, H, W) slice (final window repeat-padded and
+        trimmed — the merge is per-frame independent so padding is inert), so
+        device temporaries are bounded by `window` INDEPENDENT of sequence
+        length, and every window reuses one compiled program per shape.
+        Output is bit-identical to the one-shot merge (test-pinned)."""
+        zeros_row = jnp.zeros((1,) + outs.shape[1:], outs.dtype)
+        chunks = []
+        for w0 in range(0, T, window):
+            w1 = min(w0 + window, T)
+            # frames [w0, w1): frame 0 is the all-zeros row (its labels are
+            # overwritten by ground truth below/at write time), frame t > 0
+            # is outs[t-1]
+            fg = outs[max(w0 - 1, 0):w1 - 1]
+            if w0 == 0:
+                fg = jnp.concatenate([zeros_row, fg])
+            pad = window - (w1 - w0)
+            if pad:
+                fg = jnp.concatenate([fg, jnp.repeat(fg[-1:], pad, axis=0)])
+            for k, (obj_id, start_idx, mask, _) in enumerate(objects):
+                if w0 <= start_idx < w1:
+                    fg = fg.at[start_idx - w0, k].set(jnp.asarray(mask))
+            chunks.append(self._merge_volume(fg, lut)[:w1 - w0])
+        return jnp.concatenate(chunks)
 
     def run_dataset(self, dataset, out_path, speedrun=False, restart=None,
                     pipeline=False):

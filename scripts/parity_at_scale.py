@@ -75,6 +75,58 @@ def _square_mask(h0, h1, w0, w1):
     return m
 
 
+class _ExtractorSource:
+    """REAL rn101 feature statistics (VERDICT r4 #6): a synthetic moving-
+    square video at DAVIS resolution runs through the actual host augmenter
+    and the actual rn101 extractor (random-init — no pretrained weights in
+    this image), so the GN-CG system is conditioned by genuine conv-pyramid
+    statistics (spatially correlated, target-informative, heavy-tailed)
+    instead of iid gaussians. The SAME features feed both the JAX path and
+    the torch mirror, so this isolates solver/decoder numerics at production
+    scale under realistic inputs (reference math:
+    /root/reference/model/discriminator.py:154-227, model/optimizer.py:55-157)."""
+
+    def __init__(self, n_objects, n_frames, seed=7):
+        from functools import partial
+        from frtm_tpu.config import eval_aug_params
+        from frtm_tpu.models import init_resnet
+        from frtm_tpu.models.resnet import extract_features
+        from frtm_tpu.models.augmenter import ImageAugmenter
+        from frtm_tpu.data.synthetic import make_moving_square_sequence
+        self.seq = make_moving_square_sequence(
+            n_frames=n_frames + 1, size=IM_SIZE, square=140,
+            n_objects=n_objects, seed=seed)
+        self.backbone = jax.jit(partial(
+            extract_features, arch="resnet101", output_layers=list(LAYERS),
+            dtype=jnp.float32))
+        self.params = init_resnet(jax.random.PRNGKey(0), "resnet101")
+        self.augmenter = ImageAugmenter(eval_aug_params(5))
+        self.n_objects = n_objects
+
+    def aug_batch(self, obj_id):
+        """Real first-frame augmentation + real layer4 features."""
+        image, labels, _ = self.seq[0]
+        mask = (np.asarray(labels).squeeze() == obj_id).astype(np.float32)
+        ims, lbs = self.augmenter.augment_first_frame(
+            image, mask[..., None], np.random.RandomState(0))
+        t0 = time.time()
+        feats = np.asarray(self.backbone(self.params, jnp.asarray(ims))
+                           ["layer4"])
+        print(f"  extractor: aug batch features {feats.shape} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+        return feats, lbs.astype(np.float32)
+
+    def frame(self, t):
+        """Tracked frame t's real feature pyramid + per-object GT masks
+        (the synthetic update signal derives from these)."""
+        image, labels, _ = self.seq[t]
+        feats = self.backbone(self.params, jnp.asarray(image)[None])
+        feats = {L: np.asarray(v) for L, v in feats.items()}
+        gt = [(np.asarray(labels).squeeze() == o + 1).astype(np.float32)
+              for o in range(self.n_objects)]
+        return feats, gt
+
+
 def _aug_batch(rng, box, K=5):
     """K 'augmented' first-frame samples: layer4 features + full-res masks,
     features informative about the mask (like the real extract is)."""
@@ -103,8 +155,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--objects", type=int, default=2)
+    ap.add_argument("--features", choices=("synthetic", "extractor"),
+                    default="synthetic",
+                    help="'extractor' = real rn101 features over a synthetic "
+                         "video through the real augmenter (_ExtractorSource)"
+                         "; 'synthetic' = the round-4 iid-gaussian fixtures")
     args = ap.parse_args()
 
+    src = (_ExtractorSource(args.objects, args.frames)
+           if args.features == "extractor" else None)
     rng = np.random.RandomState(7)
     cfg = DiscConfig()   # defaults ARE the production rn101 eval settings
     assert cfg.init_iters == (5, 10, 10, 10, 10) and cfg.memory_size == 80 \
@@ -130,7 +189,8 @@ def main():
     targets_j, targets_t = [], []
     init_fn = jax.jit(lambda p, f, y: disc_init(p, f, y, cfg))
     for o, box in enumerate(obj_boxes):
-        feats_aug, masks_aug = _aug_batch(rng, box)
+        feats_aug, masks_aug = (src.aug_batch(o + 1) if src
+                                else _aug_batch(rng, box))
         t0 = time.time()
         pj, st = init_fn(d0_j, jnp.asarray(feats_aug), jnp.asarray(masks_aug))
         jax.block_until_ready(pj)
@@ -161,7 +221,11 @@ def main():
         # objects drift a few px/frame, like real video
         box_t = [(b[0] + 3 * t, b[1] + 3 * t, b[2] + 2 * t, b[3] + 2 * t)
                  for b in obj_boxes]
-        feats = _frame_pyramid(rng, box_t)
+        if src:
+            feats, gt_masks = src.frame(t)
+        else:
+            feats = _frame_pyramid(rng, box_t)
+            gt_masks = None
         feats_j = {L: jnp.asarray(a) for L, a in feats.items()}
         feats_t = {L: _nchw(a) for L, a in feats.items()}
 
@@ -219,9 +283,12 @@ def main():
         # mask would leave the memory-insert + warm-started re-solve math
         # unexercised. Parity means: same inputs -> same filter trajectory.
         for i, (tgt, dt) in enumerate(zip(targets_j, targets_t)):
-            h0, h1, w0, w1 = box_t[i]
             upd = np.full(IM_SIZE, 0.05, np.float32)
-            upd[h0:h1, w0:w1] = 0.9
+            if gt_masks is not None:
+                upd[gt_masks[i] > 0] = 0.9
+            else:
+                h0, h1, w0, w1 = box_t[i]
+                upd[h0:h1, w0:w1] = 0.9
             before = np.asarray(tgt["params"].filter).copy()
             tgt["params"], tgt["state"] = disc_update(
                 tgt["params"], tgt["state"], cfts[i],

@@ -55,8 +55,11 @@ def main():
           if L in cfg.refnet_layers}
     refiner = init_seg_network(jax.random.PRNGKey(1), ch,
                                use_bn=cfg.refnet_use_bn)
+    # aug_compact=False: this probe measures the DENSE packed-upload path's
+    # transfer economics (the round-4 record); the round-5 compact path has
+    # its own probe (scripts/probe_r5_ordering.py)
     tr = BatchedSequenceTracker(cfg, backbone, refiner, extract_chunk=16,
-                                augment_backend="host")
+                                augment_backend="host", aug_compact=False)
     seq = make_moving_square_sequence(n_frames=n_frames, size=(480, 854),
                                       square=100, n_objects=n_obj, seed=0)
 

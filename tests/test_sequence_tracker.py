@@ -184,6 +184,47 @@ def test_scan_tracker_deferred_merge_runs():
     assert all(o.shape == (96, 128) for o in outs)
 
 
+def test_merge_volume_windows_matches_oneshot_and_bounds_peak():
+    """VERDICT r4 #8: the deferred whole-sequence merge runs in fixed-size
+    frame windows so its device temporaries are bounded INDEPENDENT of
+    sequence length. Pin (a) bit-identity with the one-shot merge including
+    GT insertion at start frames (incl. a mid-sequence entry) and the
+    repeat-padded final window, (b) every merge call sees exactly `window`
+    frames regardless of T."""
+    from types import SimpleNamespace
+    from frtm_tpu.runtime.sequence_tracker import merge_volume
+
+    T, N, H, W = 11, 2, 16, 24
+    rng = np.random.RandomState(0)
+    outs = jnp.asarray(rng.rand(T + 4, N, H, W).astype(np.float32))
+    m0 = (rng.rand(H, W) > 0.6).astype(np.float32)
+    m1 = (rng.rand(H, W) > 0.7).astype(np.float32)
+    objects = [(3, 0, m0, None), (5, 4, m1, None)]  # ids 3/5, entry at 0 & 4
+    lut = jnp.asarray([0, 3, 5], jnp.int32)
+
+    # one-shot reference (the pre-round-5 path)
+    fg = jnp.concatenate([jnp.zeros((1, N, H, W), jnp.float32),
+                          outs[:T - 1]])
+    for k, (_, start_idx, mask, _) in enumerate(objects):
+        fg = fg.at[start_idx, k].set(jnp.asarray(mask))
+    want = np.asarray(jax.jit(merge_volume)(fg, lut))
+
+    calls = []
+
+    def spy_merge(fg_w, lut_w):
+        calls.append(int(fg_w.shape[0]))
+        return merge_volume(fg_w, lut_w)
+
+    dummy = SimpleNamespace(_merge_volume=spy_merge)
+    for window in (4, 5, 32):
+        calls.clear()
+        got = np.asarray(BatchedSequenceTracker._merge_volume_windows(
+            dummy, outs, objects, lut, T, window=window))
+        np.testing.assert_array_equal(got, want[:T])
+        assert all(c == window for c in calls), (window, calls)
+        assert len(calls) == -(-T // window)
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_runs():
     import __graft_entry__ as g
