@@ -112,8 +112,10 @@ def test_two_obj_threshold_rejects_steal_but_admits_overlap():
     # a real r04 2-obj capture: host-steal passes (aug 430-590 ms/obj) filled
     # the clean quorum under the old infinite threshold and the median read
     # 49 fps while a genuinely quiet pass measured 57 ms/obj at 103 fps. The
-    # 250 ms/obj threshold admits true upload-overlap inflation (~240 ms)
-    # and rejects steal.
+    # finite threshold (180 ms/obj since the compact encoding shrank the
+    # overlapping upload to ~1.1 MB/object) admits quiet and true-overlap
+    # passes and rejects steal — including the 216-239 ms/obj marginal-steal
+    # passes the old 250 ms threshold let through.
     entries = [(103, 57), (69, 239), (47, 432), (49, 429), (39, 592),
                (100, 60), (98, 70), (101, 65)]
     m = bench.measure_passes(_mk_pass_stream(entries), n_clean=4,
