@@ -58,6 +58,13 @@ def main():
                          "augmentation — during the current scan (faster "
                          "dataset wall; fused per-sequence fps then excludes "
                          "augment and is not protocol-comparable)")
+    ap.add_argument("--aug-compact", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="fused engine: ship augment batches in the compact "
+                         "device-composed encoding (~1.1 MB/object instead "
+                         "of ~5 over remote links). auto = on for TPU. "
+                         "'off' avoids per-shape init recompiles on "
+                         "datasets with highly varied object sizes")
     args = ap.parse_args()
 
     import jax
@@ -168,8 +175,10 @@ def main():
             sp_devs = jax.local_devices() if n_proc > 1 else None
             sp_mesh = make_spatial_mesh(n_spatial=args.spatial,
                                         devices=sp_devs)
+        aug_compact = {"auto": None, "on": True, "off": False}[args.aug_compact]
         tracker = BatchedSequenceTracker(cfg, backbone, refiner,
-                                         extract_chunk=16, mesh=sp_mesh)
+                                         extract_chunk=16, mesh=sp_mesh,
+                                         aug_compact=aug_compact)
         tracker.run_dataset(dset_run, out_path,
                             speedrun=args.dset == "dv2016val",
                             restart=args.restart, pipeline=args.pipeline)
