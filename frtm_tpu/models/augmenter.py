@@ -248,7 +248,23 @@ class ImageAugmenter:
         target = np.concatenate((target, alpha[..., None]), axis=-1)
 
         mask1 = cv2.dilate(mask, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (d * 2, d * 2)))
-        inpainted = cv2.inpaint(image, mask1, inpaintRadius=d, flags=cv2.INPAINT_TELEA)
+        # TELEA on a sub-window enclosing the hole: the FMM band only reads
+        # known pixels within inpaintRadius of the (dilated) hole, so a
+        # margin of d+4 reproduces the full-frame call bit-exactly at a
+        # fraction of the cost (measured 5.5 -> ~0.5 ms at DAVIS size;
+        # pinned by tests/test_aug_compose.py::test_subwindow_inpaint...)
+        ys = np.flatnonzero(mask1.any(axis=1))
+        xs = np.flatnonzero(mask1.any(axis=0))
+        H, W = mask1.shape[:2]
+        inpainted = image.copy()
+        if len(ys):  # empty hole: nothing to inpaint
+            m = d + 4
+            y0, y1 = max(0, ys[0] - m), min(H, ys[-1] + 1 + m)
+            x0, x1 = max(0, xs[0] - m), min(W, xs[-1] + 1 + m)
+            inpainted[y0:y1, x0:x1] = cv2.inpaint(
+                np.ascontiguousarray(image[y0:y1, x0:x1]),
+                np.ascontiguousarray(mask1[y0:y1, x0:x1]),
+                inpaintRadius=d, flags=cv2.INPAINT_TELEA)
 
         if d > 1:
             mask0 = cv2.erode(mask, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (d, d)))
@@ -311,6 +327,29 @@ class ImageAugmenter:
         else:
             out = np.clip(self._warp(image, T, "bicubic"), 0, 255)
         return self._filter_image(out, G)
+
+    def _filter_region(self, img, kernel, y0, y1, x0, x1):
+        """The [y0:y1, x0:x1] region of `_filter_image(img f32, kernel)`
+        WITHOUT filtering the whole frame: the filter is local (kernel
+        support) with BORDER_CONSTANT-zero semantics, so filtering a
+        margin-padded sub-window — real frame values inside, zeros where the
+        margin crosses the true frame border — reproduces the region
+        bit-exactly. Compact mode uses this for the paste blend: the full
+        blurred background is composed on DEVICE, so the host needs only the
+        patch's worth (measured: the full-frame bg blurs were 11.2 ms each,
+        the dominant standalone host-augment cost)."""
+        if kernel.shape == (1, 1):
+            return np.asarray(img[y0:y1, x0:x1], np.float32)
+        H, W = img.shape[:2]
+        my, mx = kernel.shape[0] // 2, kernel.shape[1] // 2
+        yl, xl = max(0, y0 - my), max(0, x0 - mx)
+        yh, xh = min(H, y1 + my), min(W, x1 + mx)
+        sub = np.zeros((y1 - y0 + 2 * my, x1 - x0 + 2 * mx, img.shape[2]),
+                       np.float32)
+        sub[yl - (y0 - my):yh - (y0 - my),
+            xl - (x0 - mx):xh - (x0 - mx)] = img[yl:yh, xl:xh]
+        out = self._filter_image(sub, kernel)
+        return out[my:my + (y1 - y0), mx:mx + (x1 - x0)]
 
     def warp_filter_and_paste(self, image, target, labels, T, G, src_bbox=None):
         """Warp target RGBA + labels, blur target, alpha-paste into image
@@ -465,12 +504,17 @@ class ImageAugmenter:
         inpainted3 = np.atleast_3d(inpainted)
 
         def bg_for(bg_spec):
-            """(f32 background or None-for-untouched-uint8, uint8 background,
-            base index, blur kernel). A no-op spec (identity transform, no
-            blur) returns the inpainted frame itself with NO full-frame
-            conversions; the paste converts just its bbox slice."""
+            """(base index, blur kernel, f32 background or None, uint8
+            background or None). A no-op spec (identity transform, no blur)
+            returns the inpainted frame itself with NO full-frame
+            conversions; the paste converts just its bbox slice. In COMPACT
+            mode non-identity backgrounds return None fulls — the device
+            composes the full frame, and the blend takes its region from
+            `_filter_region` instead of a full-frame host filter (the
+            full-frame bg blurs were the dominant standalone host-augment
+            cost)."""
             if bg_spec is None:
-                return None, inpainted3, 0, _ID_K
+                return 0, _ID_K, None, inpainted3
             bgkey = (tuple(bg_spec.location), bg_spec.rotation,
                      bg_spec.fliplr, bg_spec.scale, tuple(bg_spec.skew),
                      bg_spec.blur_size, bg_spec.blur_angle)
@@ -480,25 +524,26 @@ class ImageAugmenter:
                                           im_sz, limit_scale=False)
                 ident_T = np.allclose(T, np.eye(3), atol=1e-12)
                 if ident_T and G.shape == (1, 1):
-                    hit = (None, inpainted3, 0, _ID_K)
-                elif ident_T:
-                    # blur-only: base is the inpainted frame itself
-                    f32 = self._filter_image(
-                        np.asarray(inpainted3, np.float32), G)
-                    hit = (f32, f32.astype(np.uint8), 0, G)
+                    hit = (0, _ID_K, None, inpainted3)
                 else:
-                    tkey = T.tobytes()
-                    bi = base_idx_of.get(tkey)
-                    if bi is None:
-                        w32 = np.clip(self._warp(inpainted, T, "bicubic"),
-                                      0, 255)
-                        warp_bases.append(w32.astype(np.uint8))
-                        warp_bases_f32.append(w32)
-                        bi = base_idx_of[tkey] = len(warp_bases)
-                    w32 = warp_bases_f32[bi - 1]
-                    f32 = (self._filter_image(w32, G)
-                           if G.shape != (1, 1) else w32)
-                    hit = (f32, f32.astype(np.uint8), bi, G)
+                    bi = 0
+                    if not ident_T:
+                        tkey = T.tobytes()
+                        bi = base_idx_of.get(tkey)
+                        if bi is None:
+                            w32 = np.clip(self._warp(inpainted, T, "bicubic"),
+                                          0, 255)
+                            warp_bases.append(w32.astype(np.uint8))
+                            warp_bases_f32.append(w32)
+                            bi = base_idx_of[tkey] = len(warp_bases)
+                    if compact:
+                        hit = (bi, G, None, None)
+                    else:
+                        base = (warp_bases_f32[bi - 1] if bi
+                                else np.asarray(inpainted3, np.float32))
+                        f32 = (self._filter_image(base, G)
+                               if G.shape != (1, 1) else base)
+                        hit = (bi, G, f32, f32.astype(np.uint8))
                 bg_cache[bgkey] = hit
             return hit
 
@@ -525,7 +570,7 @@ class ImageAugmenter:
             for fg_spec, bg_spec in zip(fg_specs, bg_specs):
                 if n_good >= N:
                     break
-                bg_f32, bg_u8, base_idx, bg_kern = bg_for(bg_spec)
+                base_idx, bg_kern, bg_f32, bg_u8 = bg_for(bg_spec)
                 T, G = self.get_transform(fg_spec, tg_bbox, im_sz)
                 tgt, (y0, y1, x0, x1), lbl = self._paste_bbox(
                     target, mask, T, G, src_bbox=tg_bbox, im_size=im_sz)
@@ -542,9 +587,17 @@ class ImageAugmenter:
                     continue
                 if tgt is not None:
                     alpha = tgt[..., 3:4] / 255.0
-                    bg_region = (bg_u8 if bg_f32 is None else
-                                 bg_f32)[y0:y1, x0:x1].astype(np.float32,
-                                                              copy=False)
+                    if bg_u8 is None and bg_f32 is None:
+                        # compact non-identity bg: region-only host filter
+                        # (bit-exact; the device composes the full frame)
+                        base = (warp_bases_f32[base_idx - 1] if base_idx
+                                else inpainted3)
+                        bg_region = self._filter_region(base, bg_kern,
+                                                        y0, y1, x0, x1)
+                    else:
+                        bg_region = (bg_u8 if bg_f32 is None else
+                                     bg_f32)[y0:y1, x0:x1].astype(
+                                         np.float32, copy=False)
                     patch = np.clip(tgt[..., :3] * alpha
                                     + bg_region * (1.0 - alpha),
                                     0, 255).astype(np.uint8)

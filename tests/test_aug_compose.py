@@ -133,6 +133,50 @@ def test_fused_tracker_compact_matches_dense(n_objects):
         assert frac_diff < 0.005, (t, frac_diff)
 
 
+@pytest.mark.parametrize("d,f", [(1, 1), (9, 3)])
+def test_subwindow_inpaint_matches_fullframe(d, f):
+    """cut_and_inpaint now runs cv2.inpaint on a margin-padded sub-window
+    enclosing the dilated hole (the TELEA FMM band only reads known pixels
+    within inpaintRadius of the hole). Pin bit-identity against the
+    full-frame call for several hole shapes and positions, including one
+    touching the frame border."""
+    import cv2
+    from frtm_tpu.models.augmenter import ImageAugmenter
+    rng = np.random.RandomState(11)
+    for case in range(3):
+        image = rng.randint(0, 256, (80, 120, 3), np.uint8)
+        mask = np.zeros((80, 120), np.uint8)
+        if case == 0:
+            mask[30:52, 40:70] = 1
+        elif case == 1:  # touches the top-left border
+            mask[0:18, 0:25] = 1
+        else:            # irregular blob
+            mask[(rng.rand(80, 120) > 0.995)] = 1
+            mask = cv2.dilate(mask, np.ones((9, 9), np.uint8))
+        if not mask.any():
+            continue
+        tgt_a, inp_a = ImageAugmenter.cut_and_inpaint(
+            image, mask[..., None], d=d, f=f)
+        # reference: the pre-round-5 full-frame formulation
+        m = (mask > 0).astype(np.uint8)[..., None]
+        mask1 = cv2.dilate(m, cv2.getStructuringElement(
+            cv2.MORPH_ELLIPSE, (d * 2, d * 2)))
+        want = cv2.inpaint(image, mask1, inpaintRadius=d,
+                           flags=cv2.INPAINT_TELEA)
+        if d > 1:
+            mask0 = cv2.erode(m, cv2.getStructuringElement(
+                cv2.MORPH_ELLIPSE, (d, d)))
+            mm = ((1 - mask0) * mask1)[..., None] if mask0.ndim == 2 \
+                else (1 - mask0) * mask1
+            mm = (cv2.blur(mm.squeeze() * 255, ksize=(d, d))[..., None]
+                  / 255.0).astype(np.float32)
+            bim = cv2.blur(want, ksize=(d, d))
+            want = (bim * mm + (1.0 - mm) * want).astype(np.uint8)
+        np.testing.assert_array_equal(inp_a, np.atleast_3d(want).squeeze()
+                                      if inp_a.ndim == 2 else want,
+                                      err_msg=f"case {case}")
+
+
 def test_compose_composes_inpainted_frame_exactly():
     # an identity-bg slot IS the inpainted frame outside its paste: rebuild
     # it from the compact pieces and compare against cut_and_inpaint's output
