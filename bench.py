@@ -64,16 +64,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 REFERENCE_FPS = 21.9   # FRTM rn101, DAVIS, V100 (BASELINE.md)
 REFERENCE_FPS_FAST = 41.0  # FRTM-fast rn18 --fast, DAVIS, V100 (BASELINE.md)
-AUG_CLEAN_MS = 135.0   # 3x the 44 ms standalone host-augment profile
+AUG_CLEAN_MS = 100.0   # ~3x the quiet in-clock augment (26-37 ms/object
+# since the round-5 region-local compact augment; was 3x44 for the dense
+# full-frame augmenter)
 # multi-object passes legitimately stream the previous object's packed
 # upload through the next augment (sequence_tracker._augment_objects) — but
 # with the round-5 COMPACT encoding that stream is ~1.1 MB/object, so true
-# overlap adds <=~100 ms/object even at 13 MB/s, while a quiet 2-obj augment
-# measures 57-124 ms/object (r05 capture). The previous 250 ms threshold
-# (sized for the 5 MB dense packs) admitted 216 ms/object host-steal passes
-# at 86 fps into the clean quorum; 180 rejects those and keeps every
-# measured quiet/overlap pass. The rest-floor criterion applies as usual.
-AUG_CLEAN_2OBJ_MS = 180.0
+# overlap adds <=~100 ms/object even at 13 MB/s, and since the region-local
+# augment a quiet 2-obj pass measures 27-40 ms/object (r05 run 3, 9/9 clean
+# at 203 fps median). The r04-era 250 ms threshold (sized for the 5 MB
+# dense packs + full-frame augment) admitted 216 ms/object host-steal
+# passes at 86 fps into the clean quorum; 120 admits quiet + true overlap
+# and rejects steal. The rest-floor criterion applies as usual.
+AUG_CLEAN_2OBJ_MS = 120.0
 REST_CLEAN_RATIO = 1.35  # non-augment wall vs session-best (device is stable)
 MIN_CLEAN = 4          # fewer clean passes than this -> contended window
 # Contention arrives in minutes-scale WAVES (hypervisor steal + tunnel load:
