@@ -1040,6 +1040,12 @@ class BatchedSequenceTracker:
                 [v, jnp.repeat(v[-1:], pad, axis=0)]) for L, v in feats_all.items()}
 
         lut = jnp.asarray([0] + obj_ids, jnp.int32)
+        # the frame-0 label neither depends on the scan nor needs the device:
+        # build + start its upload BEFORE the scan block so it is not a
+        # post-scan straggler (each post-block dispatch is a tunnel round
+        # trip serialized behind the previous block's completion — the traced
+        # pass showed ~30 ms of device idle in the straggler chain)
+        frame0_label = self._frame0_label(objects, im_size)
         # windowed program when re-solves provably align to window boundaries
         # (every start frame ≡ 0 mod train_skipping, or no online updates at
         # all): bit-identical math, frame-parallel decode inside each window
@@ -1052,11 +1058,15 @@ class BatchedSequenceTracker:
             outs, _, _ = track(
                 self.refiner, feats_all, disc_params, disc_states,
                 start_frames, start_masks, lut, im_size=im_size)
+            if self.merge_mode == "online" and bucket != n_track:
+                # trim the bucket pad HERE, enqueued directly behind the
+                # scan: slicing after block_until_ready would cost an extra
+                # dispatch round trip plus a second block
+                outs = outs[:n_track]
             outs.block_until_ready()
 
-        frame0_label = self._frame0_label(objects, im_size)
         if self.merge_mode == "online":
-            return (frame0_label, outs[:n_track])
+            return (frame0_label, outs)
 
         # deferred: whole-sequence merge with GT inserted at start frames
         # (legacy ytvos_validation/tracker.py:107-116), chunked in bounded
