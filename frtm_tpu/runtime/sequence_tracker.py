@@ -480,13 +480,20 @@ class BatchedSequenceTracker:
             return new_p, new_s
 
         def scan_track(refiner, feats_all, disc_params, disc_states,
-                       start_frames, start_masks, obj_ids_lut, im_size):
+                       start_frames, start_masks, obj_ids_lut, im_size,
+                       n_track=None):
             """:param feats_all:      {L: (T', h, w, c)} frames 1..T'
             :param disc_params:    {layer: DiscParams batched over N}
             :param disc_states:    {layer: DiscState batched over N}
             :param start_frames:   (N,) int32 per-object start frame indices
             :param start_masks:    (N, H, W) float32 ground-truth start masks
             :param obj_ids_lut:    (N+1,) int32 labels LUT
+            :param n_track:        optional traced scalar: frames beyond it
+                are bucket pad (repeat-last, outputs dropped by the caller) —
+                a lax.cond skips their classify/decode/update entirely.
+                Real device savings on the sequential single-sequence path;
+                the vmapped sharded engine does not pass it (vmapped cond
+                lowers to select and would execute both branches anyway).
             :return: per-frame outputs (labels or raw soft rows), final state
             """
             N = disc_params[DL[0]].project.shape[0]
@@ -557,8 +564,24 @@ class BatchedSequenceTracker:
                 params, states = resolve_all(params, states, due)
                 return (params, states, t), out
 
+            if n_track is None:
+                step = frame_step
+            else:
+                zero_out = (jnp.zeros(im_size, jnp.uint8) if online
+                            else jnp.zeros((N,) + im_size, jnp.float32))
+
+                def step(carry, xs):
+                    # pad frames (index >= n_track) skip the whole frame:
+                    # their outputs are dropped and their state updates were
+                    # never read (they run after every real frame)
+                    return lax.cond(
+                        carry[2] < n_track,
+                        lambda _: frame_step(carry, xs),
+                        lambda _: ((carry[0], carry[1], carry[2] + 1),
+                                   zero_out), None)
+
             (params, states, _), outs = lax.scan(
-                frame_step,
+                step,
                 (disc_params, disc_states, jnp.zeros((), jnp.int32)),
                 (feats_all, compressed_all))
             return outs, params, states
@@ -566,7 +589,8 @@ class BatchedSequenceTracker:
         W = max(int(disc_cfg.train_skipping), 1)
 
         def window_track(refiner, feats_all, disc_params, disc_states,
-                         start_frames, start_masks, obj_ids_lut, im_size):
+                         start_frames, start_masks, obj_ids_lut, im_size,
+                         n_track=None):
             """Windowed variant of scan_track: between filter re-solves the
             discriminator weights are constant, so the classify -> decode ->
             merge chain for a whole train_skipping window is frame-parallel
@@ -688,8 +712,26 @@ class BatchedSequenceTracker:
                 params, states = resolve_all(params, states, due)
                 return (params, states, t + W), out
 
+            if n_track is None:
+                step = window_step
+            else:
+                zero_out = (jnp.zeros((W,) + im_size, jnp.uint8) if online
+                            else jnp.zeros((W, N) + im_size, jnp.float32))
+
+                def step(carry, xs):
+                    # all-pad windows (first frame index > n_track) skip the
+                    # whole W-frame classify/decode/update block — up to
+                    # (bucket - n_track) // W windows of pure pad decode on
+                    # bucket-unaligned sequence lengths (the common DAVIS
+                    # case: 67 frames in an 80-bucket)
+                    return lax.cond(
+                        carry[2] < n_track,
+                        lambda _: window_step(carry, xs),
+                        lambda _: ((carry[0], carry[1], carry[2] + W),
+                                   zero_out), None)
+
             (params, states, _), outs = lax.scan(
-                window_step,
+                step,
                 (disc_params, disc_states, jnp.zeros((), jnp.int32)),
                 (feats_w, comp_w))
             outs = outs.reshape((nw * W,) + outs.shape[2:])
@@ -1055,9 +1097,15 @@ class BatchedSequenceTracker:
             or all(o[1] % W == 0 for o in objects))
         track = self._window_track if aligned else self._scan_track
         with timer.phase("scan"):
+            kw = {"im_size": im_size}
+            if self.mesh is None and bucket != n_track:
+                # pad-frame/pad-window skip (scan_track docstring); the mesh
+                # wrapper keeps its fixed signature and the aligned case has
+                # nothing to skip
+                kw["n_track"] = jnp.asarray(n_track, jnp.int32)
             outs, _, _ = track(
                 self.refiner, feats_all, disc_params, disc_states,
-                start_frames, start_masks, lut, im_size=im_size)
+                start_frames, start_masks, lut, **kw)
             if self.merge_mode == "online" and bucket != n_track:
                 # trim the bucket pad HERE, enqueued directly behind the
                 # scan: slicing after block_until_ready would cost an extra
