@@ -281,27 +281,37 @@ def _seq_pass_fn(tracker, seq, n_frames):
     return run_pass
 
 
-def _probe_backend(timeout_s=180.0):
+def _probe_backend(timeout_s=240.0):
     """Fail fast if the accelerator is unreachable. The remote-TPU tunnel has
-    gone down for 2+ hours mid-session twice (r03, r04); when it is down,
-    jax.devices() HANGS indefinitely — a bench invoked in that state would
-    hang forever instead of producing a record. Probe in a subprocess with a
-    hard timeout and exit loudly instead."""
+    gone down for 2+ hours mid-session in rounds 3, 4, AND 5; the failure
+    has TWO modes, both of which must be caught in a bounded subprocess:
+      * jax.devices() itself hangs (r03/r04 outages);
+      * device ENUMERATION works but EXECUTION hangs (r05 outage — the probe
+        passed, then the first warm-up pass blocked forever).
+    The probe therefore also executes + downloads one tiny program. The
+    timeout budgets a cold ~90 s remote compile; the trivial program is
+    normally persistent-cached."""
     import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "jax.config.update('jax_compilation_cache_dir',"
+            " '/root/.cache/jax_comp');"
+            "print(jax.devices());"
+            "print('exec', float(jax.jit(lambda x: x + 1)(jnp.float32(1))))")
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.devices())"],
-            timeout=timeout_s, capture_output=True, text=True)
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True, text=True)
     except subprocess.TimeoutExpired:
         print(f"FATAL: backend probe hung >{timeout_s:.0f}s — the TPU tunnel "
-              "is down (jax.devices() hangs when it is); refusing to hang the "
-              "benchmark. Re-run when the tunnel is back.", file=sys.stderr)
+              "is down (device enumeration or execution hangs); refusing to "
+              "hang the benchmark. Re-run when the tunnel is back.",
+              file=sys.stderr)
         sys.exit(3)
-    if r.returncode != 0:
+    if r.returncode != 0 or "exec" not in r.stdout:
         print("FATAL: backend probe failed:\n" + r.stderr[-2000:],
               file=sys.stderr)
         sys.exit(3)
-    print(f"backend probe: {r.stdout.strip()}", file=sys.stderr)
+    print(f"backend probe: {r.stdout.strip().splitlines()[0]} (exec ok)",
+          file=sys.stderr)
 
 
 def main():

@@ -213,6 +213,23 @@ def test_backoff_fires_when_run_starts_inside_wave(monkeypatch):
     assert m["value"] >= 189
 
 
+def test_backend_probe_requires_execution_not_just_enumeration(monkeypatch):
+    # the r05 outage mode: jax.devices() answers but executing a program
+    # hangs — a probe that only enumerates would pass and the first warm-up
+    # pass would block forever. The probe must demand the tiny program's
+    # output too.
+    import subprocess
+
+    class R:
+        returncode = 0
+        stdout = "[TpuDevice(id=0)]\n"   # enumeration OK, no 'exec' line
+        stderr = ""
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: R())
+    with pytest.raises(SystemExit) as ei:
+        bench._probe_backend(timeout_s=1.0)
+    assert ei.value.code == 3
+
+
 def test_late_resample_merges_time_separated_blocks():
     # first block: one clean pass inside a contention wave; the late block
     # (prior_recs=...) lands in a quiet wave and completes the quorum —
